@@ -1,0 +1,171 @@
+"""Recurrent update blocks: separable ConvGRUs, heads, motion encoders.
+
+TPU-native rebuild of `/root/reference/dro_sfm/networks/optim/update.py`
+(NHWC, flax). The inner refinement loops live in
+`dro_sfm_tpu.models.depth_pose_net`; these modules are the per-step cells.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+_conv_init = nn.initializers.he_normal()
+
+
+def _conv(features, kernel, name, padding=None):
+    if padding is None:
+        padding = tuple((k // 2, k // 2) for k in kernel)
+    return nn.Conv(features, kernel, padding=padding, kernel_init=_conv_init,
+                   name=name)
+
+
+class DepthHead(nn.Module):
+    """Two 3x3 convs -> 1-channel map through an activation
+    (`update.py:5-15`)."""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray,
+                 act_fn: Callable = jnp.tanh) -> jnp.ndarray:
+        y = nn.relu(_conv(self.hidden_dim, (3, 3), "conv1")(x))
+        return act_fn(_conv(1, (3, 3), "conv2")(y))
+
+
+class PoseHead(nn.Module):
+    """Two 3x3 convs -> global mean -> 6-DoF vector with the rotation part
+    scaled by 0.01 (`update.py:17-28`; the scale applies to the *last* three
+    channels, which `pose_vec_to_mat` reads as rotation)."""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        y = nn.relu(_conv(self.hidden_dim, (3, 3), "conv1")(x))
+        y = _conv(6, (3, 3), "conv2")(y)
+        y = y.mean(axis=(-3, -2))  # [B, 6]
+        return jnp.concatenate([y[..., :3], 0.01 * y[..., 3:]], axis=-1)
+
+
+class UpMaskNet(nn.Module):
+    """Convex-upsampling mask head, output scaled by 0.25
+    (`update.py:128-139`)."""
+    hidden_dim: int = 128
+    ratio: int = 8
+
+    @nn.compact
+    def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:
+        y = nn.relu(_conv(self.hidden_dim * 2, (3, 3), "conv1")(feat))
+        return 0.25 * _conv(self.ratio * self.ratio * 9, (1, 1), "conv2")(y)
+
+
+class SepConvGRU(nn.Module):
+    """Separable (1x5 then 5x1) convolutional GRU (`update.py:47-74`)."""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        for suffix, kernel in (("1", (1, 5)), ("2", (5, 1))):
+            hx = jnp.concatenate([h, x], axis=-1)
+            z = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convz{suffix}")(hx))
+            r = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convr{suffix}")(hx))
+            q = jnp.tanh(_conv(self.hidden_dim, kernel, f"convq{suffix}")(
+                jnp.concatenate([r * h, x], axis=-1)))
+            h = (1.0 - z) * h + z * q
+        return h
+
+
+class ConvGRU(nn.Module):
+    """Plain 3x3 convolutional GRU (`update.py:30-45`)."""
+    hidden_dim: int = 128
+
+    @nn.compact
+    def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        hx = jnp.concatenate([h, x], axis=-1)
+        z = nn.sigmoid(_conv(self.hidden_dim, (3, 3), "convz")(hx))
+        r = nn.sigmoid(_conv(self.hidden_dim, (3, 3), "convr")(hx))
+        q = jnp.tanh(_conv(self.hidden_dim, (3, 3), "convq")(
+            jnp.concatenate([r * h, x], axis=-1)))
+        return (1.0 - z) * h + z * q
+
+
+class ProjectionInputDepth(nn.Module):
+    """Encode (inv-depth, cost) into GRU input features (`update.py:77-99`).
+
+    Output width is ``out_chs`` with the raw inv-depth appended as the last
+    channel.
+    """
+    hidden_dim: int
+    out_chs: int
+
+    @nn.compact
+    def __call__(self, inv_depth: jnp.ndarray, cost: jnp.ndarray) -> jnp.ndarray:
+        c = nn.relu(_conv(self.hidden_dim, (1, 1), "convc1")(cost))
+        c = nn.relu(_conv(self.hidden_dim, (3, 3), "convc2")(c))
+        d = nn.relu(_conv(self.hidden_dim, (7, 7), "convd1")(inv_depth))
+        d = nn.relu(_conv(64, (3, 3), "convd2")(d))
+        y = nn.relu(_conv(self.out_chs - 1, (3, 3), "convd")(
+            jnp.concatenate([c, d], axis=-1)))
+        return jnp.concatenate([y, inv_depth], axis=-1)
+
+
+class ProjectionInputPose(nn.Module):
+    """Encode (pose vector, cost) into GRU input features
+    (`update.py:102-124`). The 6-DoF pose is broadcast over the spatial grid
+    and appended as the last six channels."""
+    hidden_dim: int
+    out_chs: int
+
+    @nn.compact
+    def __call__(self, pose: jnp.ndarray, cost: jnp.ndarray) -> jnp.ndarray:
+        b, h, w = cost.shape[0], cost.shape[-3], cost.shape[-2]
+        c = nn.relu(_conv(self.hidden_dim, (1, 1), "convc1")(cost))
+        c = nn.relu(_conv(self.hidden_dim, (3, 3), "convc2")(c))
+        pose_map = jnp.broadcast_to(pose[:, None, None, :], (b, h, w, 6))
+        p = nn.relu(_conv(self.hidden_dim, (7, 7), "convp1")(pose_map))
+        p = nn.relu(_conv(64, (3, 3), "convp2")(p))
+        y = nn.relu(_conv(self.out_chs - 6, (3, 3), "convp")(
+            jnp.concatenate([c, p], axis=-1)))
+        return jnp.concatenate([y, pose_map], axis=-1)
+
+
+class DepthUpdateCell(nn.Module):
+    """One inner depth-refinement step (`update.py:143-173`, loop body).
+
+    Given the hidden state, the current inv-depth, the evaluated cost map and
+    the context features, produce the updated hidden state, the depth delta
+    and the upsampling mask. The caller owns the loop and the cost
+    evaluation so the warping stays outside the cell.
+    """
+    hidden_dim: int = 128
+    context_dim: int = 32
+    ratio: int = 8
+
+    @nn.compact
+    def __call__(self, net, inv_depth, cost, context):
+        feats = ProjectionInputDepth(
+            hidden_dim=self.hidden_dim, out_chs=self.hidden_dim,
+            name="encoder")(inv_depth, cost)
+        inp = jnp.concatenate([context, feats], axis=-1)
+        net = SepConvGRU(hidden_dim=self.hidden_dim, name="gru")(net, inp)
+        delta = DepthHead(hidden_dim=self.hidden_dim, name="head")(net)
+        mask = 0.25 * nn.Sequential([
+            _conv(self.hidden_dim * 2, (3, 3), "mask1"), nn.relu,
+            _conv(self.ratio * self.ratio * 9, (1, 1), "mask2")])(net)
+        return net, delta, mask
+
+
+class PoseUpdateCell(nn.Module):
+    """One inner pose-refinement step (`update.py:176-199`, loop body)."""
+    hidden_dim: int = 128
+    context_dim: int = 32
+
+    @nn.compact
+    def __call__(self, net, pose, cost, context):
+        feats = ProjectionInputPose(
+            hidden_dim=self.hidden_dim, out_chs=self.hidden_dim,
+            name="encoder")(pose, cost)
+        inp = jnp.concatenate([context, feats], axis=-1)
+        net = SepConvGRU(hidden_dim=self.hidden_dim, name="gru")(net, inp)
+        delta = PoseHead(hidden_dim=self.hidden_dim, name="head")(net)
+        return net, delta
