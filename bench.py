@@ -1,0 +1,96 @@
+"""Benchmark harness: training throughput of the flagship configuration.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Measures frames/s of the full jitted training step (forward + supervised
+loss + backward + Adam) for the flagship network (it12-h-out) at the KITTI
+training resolution 192x640 with 2 context views — the operating point of
+the reference's published checkpoints (BASELINE.md). The reference publishes
+no throughput numbers, so ``vs_baseline`` compares against our own recorded
+baseline in BENCH_BASELINE.json (first run writes it; later runs show the
+speedup factor).
+"""
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH_BASELINE.json")
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from dro_sfm_tpu.models.sfm import SfmModelConfig
+    from dro_sfm_tpu.training.state import create_train_state, make_optimizer
+    from dro_sfm_tpu.training.step import make_train_step
+    from dro_sfm_tpu.utils.config import load_config
+
+    b, n, h, w = 4, 2, 192, 640
+    rng = np.random.default_rng(0)
+    K = np.array([[w * 0.8, 0, (w - 1) / 2], [0, w * 0.8, (h - 1) / 2],
+                  [0, 0, 1.0]], dtype=np.float32)
+    batch = {
+        "rgb": jnp.asarray(rng.uniform(size=(b, h, w, 3)), jnp.float32),
+        "rgb_context": jnp.asarray(
+            rng.uniform(size=(b, n, h, w, 3)), jnp.float32),
+        "rgb_original": jnp.asarray(
+            rng.uniform(size=(b, h, w, 3)), jnp.float32),
+        "rgb_context_original": jnp.asarray(
+            rng.uniform(size=(b, n, h, w, 3)), jnp.float32),
+        "intrinsics": jnp.broadcast_to(jnp.asarray(K), (b, 3, 3)),
+        "depth": jnp.asarray(
+            rng.uniform(1.0, 60.0, size=(b, h, w, 1)), jnp.float32),
+        "pose_context": jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (b, n, 4, 4)),
+    }
+
+    model_cfg = SfmModelConfig(name="SupModelMF", version="it12-h-out",
+                               min_depth=0.2, max_depth=80.0,
+                               flip_lr_prob=0.5)
+    net = model_cfg.build_net()
+    cfg = load_config()
+    tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
+                        steps_per_epoch=1000)
+    state = create_train_state(
+        net, jax.random.PRNGKey(0),
+        {k: batch[k] for k in ("rgb", "rgb_context", "intrinsics")}, tx)
+    train_step = make_train_step(model_cfg, net)
+    step_rng = jax.random.PRNGKey(1)
+
+    # Warmup / compile
+    state, metrics = train_step(state, batch, step_rng)
+    jax.block_until_ready(metrics["loss"])
+
+    n_steps = 20
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, batch, step_rng)
+    jax.block_until_ready(metrics["loss"])
+    dt = time.perf_counter() - t0
+
+    frames_per_sec = b * n_steps / dt
+    baseline = None
+    if os.path.exists(BASELINE_FILE):
+        with open(BASELINE_FILE) as f:
+            baseline = json.load(f).get("train_frames_per_sec")
+    else:
+        with open(BASELINE_FILE, "w") as f:
+            json.dump({"train_frames_per_sec": frames_per_sec,
+                       "device": str(jax.devices()[0])}, f)
+    vs_baseline = frames_per_sec / baseline if baseline else 1.0
+
+    print(json.dumps({
+        "metric": "train_frames_per_sec",
+        "value": round(frames_per_sec, 3),
+        "unit": "frames/s (it12-h-out, 192x640, b4, supervised step)",
+        "vs_baseline": round(vs_baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

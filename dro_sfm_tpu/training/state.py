@@ -1,0 +1,113 @@
+"""Train state, optimizer construction, LR schedules.
+
+Replaces the reference's `configure_optimizers`
+(`/root/reference/dro_sfm/models/model_wrapper.py:160-209`): Adam with
+depth/pose parameter groups and an epoch-stepped scheduler (StepLR /
+MultiStepLR / CosineAnnealing). Here the schedule is a pure function of the
+optimizer step (epoch boundaries = steps_per_epoch), baked into optax, and
+the whole state (params, batch stats, optimizer moments, step) is one pytree
+— so checkpoints restore optimizer state exactly, fixing the reference's
+dropped-optimizer-state resume (`model_wrapper.py:195-202`).
+"""
+from __future__ import annotations
+
+from typing import Any, Dict, Optional
+
+import flax
+import jax
+import jax.numpy as jnp
+import optax
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+    tx: optax.GradientTransformation = flax.struct.field(pytree_node=False)
+
+    @property
+    def variables(self) -> Dict[str, Any]:
+        return {"params": self.params, "batch_stats": self.batch_stats}
+
+    def apply_gradients(self, grads, new_batch_stats=None) -> "TrainState":
+        updates, new_opt_state = self.tx.update(grads, self.opt_state,
+                                                self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=(new_batch_stats if new_batch_stats is not None
+                         else self.batch_stats),
+            opt_state=new_opt_state)
+
+
+def lr_schedule(name: str, base_lr: float, steps_per_epoch: int,
+                step_size: int = 10, gamma: float = 0.5,
+                milestones=(10, 15, 20, 25, 30, 35, 40, 45),
+                t_max: int = 20, eta_min: float = 1e-7):
+    """Epoch-granular schedules as functions of the optimizer step.
+
+    Mirrors `model_wrapper.py:176-194` scheduler dispatch.
+    """
+    spe = max(1, steps_per_epoch)
+
+    def epoch_of(step):
+        return step // spe
+
+    if name == "StepLR":
+        def fn(step):
+            return base_lr * gamma ** (epoch_of(step) // step_size)
+    elif name == "MultiStepLR":
+        ms = jnp.asarray(milestones)
+
+        def fn(step):
+            return base_lr * gamma ** jnp.sum(epoch_of(step) >= ms)
+    elif name == "CosineAnnealingLR":
+        def fn(step):
+            e = jnp.minimum(epoch_of(step), t_max)
+            return eta_min + 0.5 * (base_lr - eta_min) * (
+                1 + jnp.cos(jnp.pi * e / t_max))
+    else:
+        raise ValueError(f"Unknown scheduler {name}")
+    return fn
+
+
+def make_optimizer(optimizer_cfg, scheduler_cfg, steps_per_epoch: int,
+                   ) -> optax.GradientTransformation:
+    """Adam/SGD + schedule from reference-style config nodes."""
+    schedule = lr_schedule(
+        scheduler_cfg.name, optimizer_cfg.depth.lr, steps_per_epoch,
+        step_size=scheduler_cfg.step_size, gamma=scheduler_cfg.gamma,
+        milestones=tuple(scheduler_cfg.milestones),
+        t_max=scheduler_cfg.T_max, eta_min=scheduler_cfg.eta_min)
+    wd = optimizer_cfg.depth.weight_decay
+    if optimizer_cfg.name == "Adam":
+        if wd > 0:
+            return optax.adamw(schedule, weight_decay=wd)
+        return optax.adam(schedule)
+    if optimizer_cfg.name == "SGD":
+        return optax.sgd(schedule, momentum=optimizer_cfg.momentum)
+    raise ValueError(f"Unknown optimizer {optimizer_cfg.name}")
+
+
+def create_train_state(net, rng: jax.Array, sample_batch: Dict[str, Any],
+                       tx: optax.GradientTransformation,
+                       init_variables: Optional[Dict] = None) -> TrainState:
+    """Initialize parameters (or adopt ``init_variables``) and wrap in state."""
+    if init_variables is None:
+        # jit the init: on remote-attached TPUs eager op-by-op dispatch of
+        # the hundreds of initializer ops is catastrophically slow.
+        init_fn = jax.jit(lambda r, b: net.init(
+            r, b["rgb"], b["rgb_context"], b["intrinsics"], train=False))
+        init_variables = init_fn(
+            rng, {k: sample_batch[k]
+                  for k in ("rgb", "rgb_context", "intrinsics")})
+    params = init_variables["params"]
+    batch_stats = init_variables.get("batch_stats", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        batch_stats=batch_stats,
+        opt_state=tx.init(params),
+        tx=tx)

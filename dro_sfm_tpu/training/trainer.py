@@ -1,0 +1,206 @@
+"""The trainer: experiment orchestration + epoch loops.
+
+Rebuild of the reference's ModelWrapper + HorovodTrainer pair
+(`/root/reference/dro_sfm/models/model_wrapper.py:25-454`,
+`/root/reference/dro_sfm/trainers/horovod_trainer.py:13-189`), reorganized
+functionally: the Trainer owns config, datasets, the jitted steps, the
+TrainState, the checkpoint manager and metric aggregation. The distributed
+behavior of the original (DistributedSampler shards, gradient allreduce,
+metric reduction, rank-0 gating) maps to host-sharded loaders, GSPMD
+sharding inside the jitted step, jnp reductions over gathered per-sample
+metrics, and `jax.process_index() == 0` gating.
+"""
+from __future__ import annotations
+
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from dro_sfm_tpu.data import make_loader, setup_dataset
+from dro_sfm_tpu.models.sfm import SfmModelConfig
+from dro_sfm_tpu.losses.photometric import PhotometricLossConfig
+from dro_sfm_tpu.parallel.mesh import is_rank0, make_mesh, shard_batch
+from dro_sfm_tpu.training.checkpoint import CheckpointManager, load_checkpoint
+from dro_sfm_tpu.training.metrics import (
+    ALL_METRIC_NAMES,
+    METRIC_MODES,
+    MetricsConfig,
+    compute_pose_metrics,
+)
+from dro_sfm_tpu.training.state import create_train_state, make_optimizer
+from dro_sfm_tpu.training.step import make_eval_step, make_train_step
+from dro_sfm_tpu.utils.logging import AvgMeter, pcolor, print_metrics_table
+
+
+def model_config_from(cfg) -> SfmModelConfig:
+    """Build the task-model config from a full ConfigNode."""
+    loss = cfg.model.loss
+    # min/max depth flow from model.params into both the network and the
+    # losses (`model_wrapper.py:570-583`).
+    min_depth = cfg.model.params.min_depth or 0.1
+    max_depth = cfg.model.params.max_depth
+    return SfmModelConfig(
+        name=cfg.model.name,
+        version=cfg.model.depth_net.version,
+        min_depth=min_depth, max_depth=max_depth,
+        flip_lr_prob=loss.flip_lr_prob,
+        supervised_loss_weight=loss.supervised_loss_weight,
+        photometric=PhotometricLossConfig(
+            ssim_loss_weight=loss.ssim_loss_weight,
+            smooth_loss_weight=loss.smooth_loss_weight,
+            c1=loss.C1, c2=loss.C2,
+            photometric_reduce_op=loss.photometric_reduce_op,
+            clip_loss=loss.clip_loss,
+            automask_loss=loss.automask_loss))
+
+
+class Trainer:
+    def __init__(self, cfg, resume: Optional[str] = None):
+        self.cfg = cfg
+        self.model_cfg = model_config_from(cfg)
+        self.net = self.model_cfg.build_net()
+        self.metrics_cfg = MetricsConfig(
+            crop=cfg.model.params.crop,
+            min_depth=cfg.model.params.min_depth,
+            max_depth=cfg.model.params.max_depth)
+        self.mesh = make_mesh()
+        self.rng = jax.random.PRNGKey(cfg.arch.seed)
+
+        # Datasets + loaders
+        aug = cfg.datasets.augmentation
+        self.train_dataset = setup_dataset(cfg.datasets.train, aug, "train")
+        self.val_dataset = setup_dataset(cfg.datasets.validation, aug,
+                                         "validation")
+        self.test_dataset = None
+        if cfg.datasets.test.dataset:
+            self.test_dataset = setup_dataset(cfg.datasets.test, aug, "test")
+        self.train_loader = make_loader(
+            self.train_dataset, cfg.datasets.train.batch_size, "train",
+            num_workers=cfg.datasets.train.num_workers, seed=cfg.arch.seed)
+        self.val_loader = make_loader(
+            self.val_dataset, cfg.datasets.validation.batch_size, "validation",
+            num_workers=cfg.datasets.validation.num_workers)
+
+        # Optimizer / state
+        steps_per_epoch = max(1, len(self.train_loader))
+        self.tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
+                                 steps_per_epoch)
+        sample = self._sample_batch()
+        init_rng, self.rng = jax.random.split(self.rng)
+        self.state = create_train_state(self.net, init_rng, sample, self.tx)
+        self.current_epoch = 0
+        if resume:
+            restored = load_checkpoint(resume, self.state)
+            p = restored["payload"]
+            self.state = self.state.replace(
+                params=p["params"], batch_stats=p["batch_stats"],
+                opt_state=p["opt_state"],
+                step=jnp.asarray(p["step"], jnp.int32))
+            self.current_epoch = int(restored["meta"].get("epoch", 0))
+
+        # Jitted steps
+        self.train_step = make_train_step(self.model_cfg, self.net)
+        demon = (list(cfg.datasets.validation.dataset) == ["Demon"])
+        self.eval_step = make_eval_step(self.model_cfg, self.net,
+                                        self.metrics_cfg, demon_scaling=demon)
+
+        self.checkpointer = CheckpointManager(
+            cfg.checkpoint.filepath, monitor=cfg.checkpoint.monitor,
+            save_top_k=cfg.checkpoint.save_top_k, mode=cfg.checkpoint.mode)
+        self.metric_keys = ALL_METRIC_NAMES
+
+    # ------------------------------------------------------------------
+    def _sample_batch(self):
+        s = self.train_dataset[0]
+        batch = {k: jnp.asarray(np.asarray(v)[None])
+                 for k, v in s.items()
+                 if k in ("rgb", "rgb_context", "intrinsics")}
+        return batch
+
+    # ------------------------------------------------------------------
+    def train_epoch(self, epoch: int) -> Dict[str, float]:
+        self.train_loader.set_epoch(epoch)
+        avg = AvgMeter(50)
+        t0 = time.time()
+        n_frames = 0
+        rng = jax.random.fold_in(self.rng, epoch)
+        last_loss = float("nan")
+        for i, batch in enumerate(self.train_loader):
+            arrays = {k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray) and k != "valid"}
+            arrays = shard_batch(arrays, self.mesh)
+            self.state, metrics = self.train_step(self.state, arrays, rng)
+            n_frames += batch["rgb"].shape[0]
+            if (i + 1) % 10 == 0 or i == 0:
+                last_loss = float(metrics["loss"])
+                run_avg = avg(last_loss)
+                if is_rank0():
+                    dt = time.time() - t0
+                    print(f"epoch {epoch:03d} step {i + 1:05d}/"
+                          f"{len(self.train_loader):05d} "
+                          f"loss {last_loss:.4f} (avg {run_avg:.4f}) "
+                          f"{n_frames / dt:.1f} frames/s", flush=True)
+        dt = time.time() - t0
+        return {"avg_train-loss": avg.get(),
+                "train_frames_per_sec": n_frames / max(dt, 1e-9)}
+
+    # ------------------------------------------------------------------
+    def validate(self, loader=None, dataset_name: str = "validation",
+                 ) -> Dict[str, float]:
+        loader = loader or self.val_loader
+        variables = self.state.variables
+        sums = {m: np.zeros(9) for m in METRIC_MODES}
+        pose_sum = np.zeros(3)
+        count = 0
+        for batch in loader:
+            arrays = {k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray) and k != "valid"}
+            out = self.eval_step(variables, arrays)
+            valid = batch["valid"]
+            if out["metrics"] is not None:
+                m = np.asarray(out["metrics"])          # [4,B,9]
+                for mi, mode in enumerate(METRIC_MODES):
+                    sums[mode] += m[mi][valid].sum(axis=0)
+            if "pose_context" in batch:
+                pose_sum += compute_pose_metrics(
+                    batch["pose_context"], np.asarray(out["pose"]))
+            count += int(valid.sum())
+        results: Dict[str, float] = {}
+        table = {}
+        for mode in METRIC_MODES:
+            vec = sums[mode] / max(count, 1)
+            pose_vec = pose_sum / max(len(loader), 1)
+            full = np.concatenate([vec, pose_vec])
+            table[f"depth{mode}"] = full
+            for name, value in zip(self.metric_keys, full):
+                results[f"{name}{mode}"] = float(value)
+        if is_rank0():
+            print_metrics_table(table, self.metric_keys,
+                                title=f"{dataset_name} epoch "
+                                      f"{self.current_epoch}")
+        return results
+
+    # ------------------------------------------------------------------
+    def fit(self) -> Dict[str, float]:
+        cfg = self.cfg
+        metrics: Dict[str, float] = {}
+        for epoch in range(self.current_epoch, cfg.arch.max_epochs):
+            self.current_epoch = epoch
+            train_metrics = self.train_epoch(epoch)
+            val_metrics = self.validate()
+            metrics = {**train_metrics, **val_metrics}
+            if is_rank0():
+                self.checkpointer.check_and_save(
+                    self.state, epoch, val_metrics,
+                    config=self.cfg.to_dict())
+        return metrics
+
+    def test(self) -> Dict[str, float]:
+        assert self.test_dataset is not None, "No test dataset configured"
+        loader = make_loader(self.test_dataset,
+                             self.cfg.datasets.test.batch_size, "test",
+                             num_workers=self.cfg.datasets.test.num_workers)
+        return self.validate(loader, dataset_name="test")

@@ -1,0 +1,110 @@
+"""End-to-end training integration: overfit a synthetic batch, trainer smoke.
+
+The reference's de-facto integration test is the KITTI_tiny overfit config
+(`/root/reference/README.md:95-103`, SURVEY.md §4); the synthetic dataset
+plays that role here with exact ground truth and no data download.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from dro_sfm_tpu.data import SyntheticConfig, SyntheticDataset, collate
+from dro_sfm_tpu.models.sfm import SfmModelConfig
+from dro_sfm_tpu.training.state import create_train_state, make_optimizer
+from dro_sfm_tpu.training.step import make_eval_step, make_train_step
+from dro_sfm_tpu.training.metrics import MetricsConfig
+from dro_sfm_tpu.utils.config import load_config
+
+
+def synthetic_batch(n_scenes=2, h=64, w=96):
+    ds = SyntheticDataset(
+        SyntheticConfig(num_scenes=n_scenes, height=h, width=w,
+                        num_context=2),
+        mode="train", jittering=(0.2, 0.2, 0.2, 0.05))
+    batch = collate([ds[i] for i in range(n_scenes)])
+    return {k: jnp.asarray(v) for k, v in batch.items()
+            if isinstance(v, np.ndarray)}
+
+
+@pytest.mark.slow
+def test_overfit_single_batch_supervised():
+    """80 Adam steps on one batch must cut the supervised loss by >50%
+    (measured convergence: 3.4 -> ~0.8 at step 80 with lr 1e-3)."""
+    import optax
+
+    model_cfg = SfmModelConfig(name="SupModelMF", version="it4-h-out",
+                               min_depth=0.2, max_depth=20.0,
+                               flip_lr_prob=0.0)
+    net = model_cfg.build_net()
+    batch = synthetic_batch()
+
+    tx = optax.adam(1e-3)
+    state = create_train_state(
+        net, jax.random.PRNGKey(0),
+        {k: batch[k] for k in ("rgb", "rgb_context", "intrinsics")}, tx)
+    step = make_train_step(model_cfg, net)
+
+    rng = jax.random.PRNGKey(1)
+    losses = []
+    for _ in range(80):
+        state, metrics = step(state, batch, rng)
+        losses.append(float(metrics["loss"]))
+    assert np.isfinite(losses).all()
+    assert losses[-1] < 0.5 * losses[0], (losses[0], losses[-1])
+
+
+@pytest.mark.slow
+def test_trainer_epoch_and_validation(tmp_path):
+    """One Trainer epoch on synthetic data: runs, validates, checkpoints."""
+    from dro_sfm_tpu.training.trainer import Trainer
+
+    cfg = load_config(overrides={
+        "name": "synthetic_smoke",
+        "arch": {"max_epochs": 1},
+        "checkpoint": {"filepath": str(tmp_path / "ckpt"), "save_top_k": 1},
+        "model": {
+            "name": "SupModelMF",
+            "depth_net": {"name": "DepthPoseNet", "version": "it4-h-out"},
+            "params": {"crop": "", "min_depth": 0.2, "max_depth": 20.0},
+            "loss": {"flip_lr_prob": 0.0},
+        },
+        "datasets": {
+            "augmentation": {"image_shape": (64, 96)},
+            "train": {"batch_size": 2, "num_workers": 2, "dataset": ["Synthetic"],
+                      "path": ["0"], "split": ["4"], "repeat": [2],
+                      "back_context": 1, "forward_context": 1},
+            "validation": {"batch_size": 2, "num_workers": 2,
+                           "dataset": ["Synthetic"], "path": ["1"],
+                           "split": ["3"], "back_context": 1,
+                           "forward_context": 1},
+            "test": {"dataset": [], "path": [], "split": []},
+        },
+    })
+    trainer = Trainer(cfg)
+    metrics = trainer.fit()
+    assert np.isfinite(metrics["avg_train-loss"])
+    assert "abs_rel_pp_gt" in metrics
+    assert np.isfinite(metrics["abs_rel_pp_gt"])
+    # checkpoint got written
+    saved = list((tmp_path / "ckpt").glob("*.ckpt"))
+    assert len(saved) == 1
+
+
+def test_eval_step_modes():
+    """Eval step produces per-sample metrics for all four modes."""
+    model_cfg = SfmModelConfig(name="SupModelMF", version="it4-h-out",
+                               min_depth=0.2, max_depth=20.0)
+    net = model_cfg.build_net()
+    batch = synthetic_batch(n_scenes=2)
+    variables = net.init(jax.random.PRNGKey(0), batch["rgb"],
+                         batch["rgb_context"], batch["intrinsics"],
+                         train=False)
+    eval_step = make_eval_step(model_cfg, net,
+                               MetricsConfig(min_depth=0.2, max_depth=20.0))
+    out = eval_step(variables, batch)
+    assert out["metrics"].shape == (4, 2, 9)
+    assert np.isfinite(np.asarray(out["metrics"])).all()
+    assert out["pose"].shape == (2, 2, 4, 4)
+    assert out["inv_depth_pp"].shape == batch["rgb"].shape[:3] + (1,)
