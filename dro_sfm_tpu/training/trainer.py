@@ -111,6 +111,11 @@ class Trainer:
             cfg.checkpoint.filepath, monitor=cfg.checkpoint.monitor,
             save_top_k=cfg.checkpoint.save_top_k, mode=cfg.checkpoint.mode)
         self.metric_keys = ALL_METRIC_NAMES
+        from dro_sfm_tpu.loggers import make_logger
+        self.logger = (make_logger(cfg.wandb, cfg.name) if is_rank0()
+                       else None)
+        if self.logger:
+            self.logger.log_config(cfg)
 
     # ------------------------------------------------------------------
     def _sample_batch(self):
@@ -149,7 +154,7 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def validate(self, loader=None, dataset_name: str = "validation",
-                 ) -> Dict[str, float]:
+                 save_artifacts: bool = False) -> Dict[str, float]:
         loader = loader or self.val_loader
         variables = self.state.variables
         sums = {m: np.zeros(9) for m in METRIC_MODES}
@@ -159,6 +164,9 @@ class Trainer:
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray) and k != "valid"}
             out = self.eval_step(variables, arrays)
+            if save_artifacts and is_rank0():
+                from dro_sfm_tpu.utils.save import save_depth
+                save_depth(batch, out, self.cfg.save)
             valid = batch["valid"]
             if out["metrics"] is not None:
                 m = np.asarray(out["metrics"])          # [4,B,9]
@@ -196,11 +204,15 @@ class Trainer:
                 self.checkpointer.check_and_save(
                     self.state, epoch, val_metrics,
                     config=self.cfg.to_dict())
+                if self.logger:
+                    self.logger.log_metrics(
+                        {**metrics, "epoch": epoch})
         return metrics
 
-    def test(self) -> Dict[str, float]:
+    def test(self, save_artifacts: bool = False) -> Dict[str, float]:
         assert self.test_dataset is not None, "No test dataset configured"
         loader = make_loader(self.test_dataset,
                              self.cfg.datasets.test.batch_size, "test",
                              num_workers=self.cfg.datasets.test.num_workers)
-        return self.validate(loader, dataset_name="test")
+        return self.validate(loader, dataset_name="test",
+                             save_artifacts=save_artifacts)

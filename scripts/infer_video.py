@@ -1,0 +1,165 @@
+"""Full SfM demo CLI: video/folder -> depth maps, trajectory, point cloud.
+
+Equivalent of `/root/reference/scripts/infer_video.py` (the reference's
+flagship demo app): parse a video into frames (or take a frame folder), run
+3-frame sliding-window inference, chain poses with monocular scale
+propagation, filter depths, optionally fuse them with multi-view geometric
+consistency, accumulate a global colored point cloud, and write a side-by-
+side RGB/depth visualization video. The vtk live viewer is replaced by
+offline ply + trajectory-png artifacts (CI-friendly).
+"""
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+IMG_EXT = (".png", ".jpg", ".jpeg", ".bmp")
+VIDEO_EXT = (".mp4", ".avi", ".mov", ".mpeg", ".flv", ".wmv")
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description="dro-sfm-tpu video SfM")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--input", required=True, help="video file or frame folder")
+    p.add_argument("--output", required=True, help="output folder")
+    p.add_argument("--sample-rate", type=int, default=1)
+    p.add_argument("--max-frames", type=int, default=500)
+    p.add_argument("--image-shape", type=int, nargs=2, default=None)
+    p.add_argument("--fusion-views", type=int, default=0,
+                   help=">0 enables geometric-consistency fusion over N views")
+    p.add_argument("--depth-max", type=float, default=10.0)
+    p.add_argument("--grad-max", type=float, default=0.05)
+    p.add_argument("--ply-stride", type=int, default=4,
+                   help="subsample factor for point-cloud accumulation")
+    return p.parse_args()
+
+
+def parse_video(video_file, save_root, sample_rate):
+    """Extract frames (`infer_video.py:594-616`)."""
+    import cv2
+    os.makedirs(save_root, exist_ok=True)
+    cap = cv2.VideoCapture(video_file)
+    count = saved = 0
+    while cap.isOpened():
+        ret, img = cap.read()
+        if not ret:
+            break
+        if count % sample_rate == 0:
+            cv2.imwrite(os.path.join(save_root, f"{saved:06d}.jpg"), img)
+            saved += 1
+        count += 1
+    cap.release()
+    return saved
+
+
+def main():
+    args = parse_args()
+    import cv2
+    import numpy as np
+    import jax.numpy as jnp
+
+    from dro_sfm_tpu.data.video import dummy_calibration
+    from dro_sfm_tpu.inference import (
+        TrajectoryAccumulator,
+        filter_depth,
+        geometric_fusion,
+        load_model,
+        make_infer_fn,
+    )
+    from dro_sfm_tpu.utils.depth import viz_inv_depth
+    from dro_sfm_tpu.visualization.pointcloud import depth_to_points, write_ply
+    from dro_sfm_tpu.visualization.trajectory import plot_trajectory
+
+    os.makedirs(args.output, exist_ok=True)
+
+    # Input handling: video -> frames, or frame folder.
+    src = args.input
+    if not os.path.isdir(src):
+        assert os.path.splitext(src)[1].lower() in VIDEO_EXT, src
+        frames_dir = os.path.join(args.output, "input_frames")
+        n = parse_video(src, frames_dir, args.sample_rate)
+        print(f"extracted {n} frames")
+        src = frames_dir
+        files = sorted(os.listdir(src))
+    else:
+        files = sorted(f for f in os.listdir(src)
+                       if f.lower().endswith(IMG_EXT))[::args.sample_rate]
+    files = [os.path.join(src, f) for f in files][:args.max_frames]
+    assert len(files) > 2, "need at least 3 frames"
+
+    net, variables, cfg = load_model(args.checkpoint)
+    infer = make_infer_fn(net)
+    shape = tuple(args.image_shape or cfg.datasets.augmentation.image_shape)
+    K = dummy_calibration(shape[1], shape[0])
+
+    def load(f):
+        img = cv2.imread(f, cv2.IMREAD_COLOR)[..., ::-1]
+        img = cv2.resize(img, (shape[1], shape[0]))
+        return img.astype(np.float32) / 255.0
+
+    accum = TrajectoryAccumulator()
+    depth_list, pose_list = [], []
+    all_points, all_colors = [], []
+    video_path = os.path.join(args.output, "depth_vis.mp4")
+    writer = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             10, (shape[1] * 2, shape[0]))
+    depths_out = []
+
+    for i in range(1, len(files) - 1):
+        target = load(files[i])
+        refs = np.stack([load(files[i - 1]), load(files[i + 1])])
+        depth, poses = infer(variables, jnp.asarray(target[None]),
+                             jnp.asarray(refs[None]), jnp.asarray(K[None]))
+        depth = np.asarray(depth)
+        poses = np.asarray(poses)
+        depths_out.append(depth)
+
+        global_pose = accum.add(poses[0], poses[1])
+        filtered = filter_depth(depth, grad_max=args.grad_max,
+                                depth_max=args.depth_max)
+        depth_list.append(filtered)
+        pose_list.append(global_pose)
+
+        if args.fusion_views > 1 and len(depth_list) > args.fusion_views:
+            fused = geometric_fusion(
+                jnp.asarray(depth_list[-1]),
+                jnp.asarray(np.stack(depth_list[-args.fusion_views:-1])),
+                jnp.asarray(pose_list[-1]),
+                jnp.asarray(np.stack(pose_list[-args.fusion_views:-1])),
+                jnp.asarray(K), thres_view=args.fusion_views // 2)
+            filtered = np.asarray(fused)
+
+        # Accumulate point cloud (subsampled).
+        s = args.ply_stride
+        K_sub = K.copy()
+        K_sub[0] /= s
+        K_sub[1] /= s
+        pts, colors = depth_to_points(
+            filtered[::s, ::s], K_sub, global_pose, target[::s, ::s])
+        all_points.append(pts)
+        all_colors.append(colors)
+
+        # Visualization frame: rgb | inverse-depth colormap.
+        inv = np.where(depth > 0, 1.0 / np.maximum(depth, 1e-6), 0.0)
+        viz = (viz_inv_depth(inv) * 255).astype(np.uint8)
+        panel = np.concatenate(
+            [(target * 255).astype(np.uint8), viz], axis=1)
+        writer.write(panel[..., ::-1])
+        if i % 10 == 0:
+            print(f"[{i}/{len(files) - 2}] frames processed")
+
+    writer.release()
+    np.save(os.path.join(args.output, "depths.npy"), np.stack(depths_out))
+    accum.save_json(os.path.join(args.output, "trajectory.json"))
+    plot_trajectory(os.path.join(args.output, "trajectory.png"),
+                    accum.trajectory)
+    pts = np.concatenate(all_points)
+    colors = np.concatenate(all_colors)
+    write_ply(os.path.join(args.output, "pointcloud.ply"), pts, colors)
+    print(f"outputs in {args.output}: depths.npy, trajectory.json/png, "
+          f"pointcloud.ply ({pts.shape[0]} points), depth_vis.mp4")
+
+
+if __name__ == "__main__":
+    main()

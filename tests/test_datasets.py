@@ -1,0 +1,237 @@
+"""Dataset readers against synthesized on-disk fixtures.
+
+The reference datasets need real downloads; these tests fabricate minimal
+directory trees matching each format (SURVEY.md §2.7) and check the readers
+produce the shared sample schema with correct geometry conventions.
+"""
+import os
+
+import cv2
+import numpy as np
+import pytest
+
+from dro_sfm_tpu.data.base import validate_sample
+
+
+def write_jpg(path, h=48, w=64, seed=0):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    rng = np.random.default_rng(seed)
+    img = (rng.uniform(0, 255, size=(h, w, 3))).astype(np.uint8)
+    cv2.imwrite(path, img)
+
+
+def write_depth_png_mm(path, h=48, w=64, value_m=2.5):
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    depth = np.full((h, w), value_m * 1000.0, dtype=np.uint16)
+    depth[0, 0] = 0  # invalid pixel
+    cv2.imwrite(path, depth)
+
+
+# ---------------------------------------------------------------------------
+# ScanNet
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def scannet_tree(tmp_path):
+    root = tmp_path / "scans"
+    scene = "scene0000_00"
+    n = 12
+    for i in range(n):
+        write_jpg(str(root / scene / "color" / f"{i}.jpg"), seed=i)
+        write_depth_png_mm(str(root / scene / "depth" / f"{i}.png"))
+        pose = np.eye(4)
+        pose[:3, 3] = [0.1 * i, 0.0, 0.0]
+        os.makedirs(root / scene / "pose", exist_ok=True)
+        np.savetxt(root / scene / "pose" / f"{i}.txt", pose)
+    os.makedirs(root / scene / "intrinsic", exist_ok=True)
+    K = np.array([[100.0, 0, 32, 0], [0, 100.0, 24, 0],
+                  [0, 0, 1, 0], [0, 0, 0, 1]])
+    np.savetxt(root / scene / "intrinsic" / "intrinsic_color.txt", K)
+    split = tmp_path / "train_split.txt"
+    with open(split, "w") as f:
+        for i in range(n):
+            f.write(f"{scene}/color {i}.jpg\n")
+    return str(root), "train_split.txt"
+
+
+def test_scannet_dataset(scannet_tree):
+    from dro_sfm_tpu.data.scannet import ScannetDataset
+    root, split = scannet_tree
+    ds = ScannetDataset(root, split, mode="validation",
+                        back_context=1, forward_context=1, downsample=1)
+    assert len(ds) == 10  # 12 frames minus 2 border frames
+    s = ds[0]
+    validate_sample(s)
+    assert s["rgb_context"].shape[0] == 2
+    # Relative pose: target frame 1, back ctx frame 0 (+0.1x apart):
+    # T_{ctx<-target} = inv(pose0) @ pose1 -> translation +0.1 in x.
+    np.testing.assert_allclose(
+        s["pose_context"][0][:3, 3], [0.1, 0, 0], atol=1e-6)
+    # mm -> m depth with invalid -> -1
+    assert abs(float(np.max(s["depth"])) - 2.5) < 1e-5
+    assert float(np.min(s["depth"])) == -1.0
+
+
+def test_scannet_train_transform(scannet_tree):
+    from dro_sfm_tpu.data.scannet import ScannetDataset
+    root, split = scannet_tree
+    ds = ScannetDataset(root, split, mode="train", back_context=1,
+                        forward_context=1, downsample=1,
+                        image_shape=(32, 48), jittering=(0.2, 0.2, 0.2, 0.05))
+    s = ds[0]
+    assert s["rgb"].shape == (32, 48, 3)
+    assert "rgb_original" in s and s["rgb_original"].shape == (32, 48, 3)
+    # depth resized with the sample for training
+    assert s["depth"].shape == (32, 48, 1)
+    # intrinsics rescaled by the plain multiply convention
+    np.testing.assert_allclose(s["intrinsics"][0, 0], 100.0 * 48 / 64)
+
+
+# ---------------------------------------------------------------------------
+# DeMoN
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def demon_tree(tmp_path):
+    root = tmp_path / "demon"
+    for name in ("sun3d_0001", "sun3d_0002"):
+        d = root / name
+        write_jpg(str(d / "0000.jpg"))
+        write_jpg(str(d / "0001.jpg"), seed=1)
+        np.save(str(d / "0000.npy"),
+                np.full((48, 64), 3.0, dtype=np.float32))
+        poses = np.zeros((2, 12))
+        poses[0] = np.eye(4)[:3].reshape(-1)
+        p1 = np.eye(4)
+        p1[:3, 3] = [0.5, 0, 0]
+        poses[1] = p1[:3].reshape(-1)
+        np.savetxt(str(d / "poses.txt"), poses)
+        np.savetxt(str(d / "cam.txt"),
+                   np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]]))
+    with open(root / "train.txt", "w") as f:
+        f.write("sun3d_0001\nsun3d_0002\n")
+    return str(root)
+
+
+def test_demon_dataset(demon_tree):
+    from dro_sfm_tpu.data.demon import DemonDataset
+    ds = DemonDataset(demon_tree, "train.txt", mode="validation")
+    assert len(ds) == 2
+    s = ds[0]
+    validate_sample(s)
+    assert s["rgb_context"].shape == (1, 48, 64, 3)
+    # rel pose = pose1 @ inv(pose0) = translation +0.5 in x
+    np.testing.assert_allclose(
+        s["pose_context"][0][:3, 3], [0.5, 0, 0], atol=1e-6)
+    assert abs(float(s["depth"].max()) - 3.0) < 1e-6
+
+
+# ---------------------------------------------------------------------------
+# Video / Image folders
+# ---------------------------------------------------------------------------
+
+def test_video_dataset(tmp_path):
+    from dro_sfm_tpu.data.video import VideoDataset
+    root = tmp_path / "vid"
+    for i in range(8):
+        write_jpg(str(root / "seq0" / f"{i:06d}.jpg"), seed=i)
+    ds = VideoDataset(str(root), mode="validation",
+                      back_context=1, forward_context=1)
+    assert len(ds) == 6
+    s = ds[0]
+    validate_sample(s)
+    # dummy intrinsics convention fx = 1.2 * W
+    np.testing.assert_allclose(s["intrinsics"][0, 0], 1.2 * 64)
+
+
+# ---------------------------------------------------------------------------
+# Matterport
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def matterport_tree(tmp_path):
+    root = tmp_path / "matterport"
+    scene = "sceneA/cam_left"
+    for i in range(8):
+        write_jpg(str(root / scene / f"{i:013d}.jpg"), seed=i)
+        write_depth_png_mm(
+            str(root / "sceneA" / "depth" / f"{i:013d}.png"), value_m=1.5)
+        pose = np.eye(4)
+        pose[:3, 3] = [0.0, 0.05 * i, 0.0]
+        os.makedirs(root / "sceneA" / "pose", exist_ok=True)
+        np.savetxt(root / "sceneA" / "pose" / f"{i:013d}.txt", pose)
+    with open(root / "split.txt", "w") as f:
+        for i in range(8):
+            f.write(f"{scene} {i:013d}.jpg\n")
+    return str(root)
+
+
+def test_matterport_dataset(matterport_tree):
+    from dro_sfm_tpu.data.matterport import MatterportDataset
+    ds = MatterportDataset(matterport_tree, "split.txt", mode="validation",
+                           back_context=1, forward_context=1,
+                           downsample=1, adaptive=False)
+    assert len(ds) == 6
+    s = ds[0]
+    validate_sample(s)
+    np.testing.assert_allclose(
+        s["pose_context"][0][:3, 3], [0.0, 0.05, 0.0], atol=1e-6)
+    assert abs(float(s["depth"].max()) - 1.5) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# KITTI (velodyne npz depth + oxts pose chain)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def kitti_tree(tmp_path):
+    root = tmp_path / "kitti"
+    date = "2011_09_26"
+    drive = f"{date}/{date}_drive_0001_sync"
+    img_dir = root / drive / "image_02" / "data"
+    oxts_dir = root / drive / "oxts" / "data"
+    depth_dir = root / drive / "proj_depth" / "velodyne" / "image_02"
+    for i in range(6):
+        write_jpg(str(img_dir / f"{i:010d}.png"), seed=i)
+        os.makedirs(oxts_dir, exist_ok=True)
+        # lat lon alt roll pitch yaw + padding to 30 fields
+        vals = [49.0 + i * 1e-6, 8.43, 110.0, 0.0, 0.0, 0.1 * i] + [0.0] * 24
+        np.savetxt(str(oxts_dir / f"{i:010d}.txt"),
+                   np.array(vals)[None], fmt="%.8f")
+        os.makedirs(depth_dir, exist_ok=True)
+        np.savez_compressed(str(depth_dir / f"{i:010d}.npz"),
+                            velodyne_depth=np.full((48, 64), 7.0,
+                                                   dtype=np.float32))
+    # Calibration files
+    K = "7.0 0.0 32.0 0.0  0.0 7.0 24.0 0.0  0.0 0.0 1.0 0.0"
+    with open(root / date / "calib_cam_to_cam.txt", "w") as f:
+        f.write(f"P_rect_02: {K}\n")
+        f.write("R_rect_00: 1 0 0 0 1 0 0 0 1\n")
+    with open(root / date / "calib_velo_to_cam.txt", "w") as f:
+        f.write("R: 1 0 0 0 1 0 0 0 1\nT: 0 0 0\n")
+    with open(root / date / "calib_imu_to_velo.txt", "w") as f:
+        f.write("R: 1 0 0 0 1 0 0 0 1\nT: 0 0 0\n")
+    split = root / "split.txt"
+    with open(split, "w") as f:
+        for i in range(1, 5):
+            f.write(f"{drive}/image_02/data/{i:010d}.png\n")
+    return str(root)
+
+
+def test_kitti_dataset(kitti_tree):
+    from dro_sfm_tpu.data.kitti import KITTIDataset
+    ds = KITTIDataset(kitti_tree, "split.txt", mode="validation",
+                      depth_type="velodyne", with_pose=True,
+                      back_context=1, forward_context=1)
+    assert len(ds) == 4
+    s = ds[0]
+    validate_sample(s)
+    assert s["rgb_context"].shape[0] == 2
+    np.testing.assert_allclose(s["intrinsics"][0, 0], 7.0)
+    assert abs(float(s["depth"].max()) - 7.0) < 1e-6
+    # Pose chain: finite, context poses are relative transforms whose
+    # rotation reflects the yaw difference between frames (0.1 rad).
+    rel = s["pose_context"][1]  # forward context
+    assert np.all(np.isfinite(rel))
+    yaw = np.arctan2(rel[0, 2], rel[0, 0])
+    assert abs(abs(yaw)) < 0.5  # small rotation, right order of magnitude
