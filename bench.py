@@ -62,15 +62,22 @@ def main():
     train_step = make_train_step(model_cfg, net)
     step_rng = jax.random.PRNGKey(1)
 
-    # Warmup / compile
+    # Warmup / compile. NOTE: on the remote-attached axon backend,
+    # jax.block_until_ready does NOT reliably wait for device execution —
+    # only a host fetch of data that depends on the computation does. All
+    # timing anchors on an actual value fetch (validated to scale linearly
+    # in step count).
+    def fetch(s):
+        return float(jax.tree_util.tree_leaves(s.params)[0].ravel()[0])
+
     state, metrics = train_step(state, batch, step_rng)
-    jax.block_until_ready(metrics["loss"])
+    fetch(state)
 
     n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = train_step(state, batch, step_rng)
-    jax.block_until_ready(metrics["loss"])
+    fetch(state)
     dt = time.perf_counter() - t0
 
     frames_per_sec = b * n_steps / dt

@@ -1,0 +1,241 @@
+"""Distributed dense bundle adjustment with Schur-complement reduction.
+
+The north-star scale-out extension (BASELINE.json): refine keyframe poses
+and per-keyframe depth scales over a covisibility graph by minimizing dense
+depth-reprojection consistency, with the structure variables (scales)
+eliminated through an exact Schur complement and the edge work sharded
+across the device mesh.
+
+Model
+-----
+Parameters per keyframe i: pose perturbation twist xi_i in se(3) (applied as
+T_i <- T_i0 · exp(xi_i)) and a log depth scale sigma_i (D_i <- e^{sigma_i} D_i).
+For each covisibility edge (i, j), a static pixel subgrid of frame i is
+unprojected with its scaled depth, transformed into frame j, and compared
+against frame j's scaled depth sampled bilinearly at the projection:
+
+    r_p = (z_ij(p) - e^{sigma_j} D_j[pi_j(p)]) * valid(p)
+
+Gauss-Newton normal equations split into pose blocks A [6K, 6K], scale
+blocks C [K, K] and coupling B [6K, K]; the scales are eliminated exactly:
+
+    (A - B C^{-1} B^T) dxi = -(b_pose - B C^{-1} b_scale)
+
+— the classic Schur trick with depth scales playing the structure role. On
+a mesh, edges shard over the ``data`` axis; each device accumulates its
+partial H/b and a `psum` assembles the global system (the reduced solve is
+replicated — it is tiny compared to the residual work).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from dro_sfm_tpu.ba.lie import se3_exp
+
+
+class BAProblem(NamedTuple):
+    poses: jnp.ndarray         # [K,4,4] camera->world initial estimates
+    depths: jnp.ndarray        # [K,h,w] keyframe depth maps
+    K: jnp.ndarray             # [3,3] shared intrinsics (depth resolution)
+    edges_i: jnp.ndarray       # [E] target keyframe index per edge
+    edges_j: jnp.ndarray       # [E] source keyframe index per edge
+
+
+def _edge_residual(params_i, params_j, T_i0, T_j0, D_i, D_j, K, stride):
+    """Masked depth-consistency residuals [M] for one edge."""
+    xi_i, sigma_i = params_i[:6], params_i[6]
+    xi_j, sigma_j = params_j[:6], params_j[6]
+    T_i = T_i0 @ se3_exp(xi_i)
+    T_j = T_j0 @ se3_exp(xi_j)
+
+    h, w = D_i.shape
+    ys = jnp.arange(0, h, stride, dtype=D_i.dtype)
+    xs = jnp.arange(0, w, stride, dtype=D_i.dtype)
+    gy, gx = jnp.meshgrid(ys, xs, indexing="ij")
+    d = D_i[::stride, ::stride] * jnp.exp(sigma_i)
+
+    pix = jnp.stack([gx, gy, jnp.ones_like(gx)], axis=-1)
+    rays = pix @ jnp.linalg.inv(K).T
+    pts_i = rays * d[..., None]
+    rel = jnp.linalg.inv(T_j) @ T_i
+    pts_j = pts_i @ rel[:3, :3].T + rel[:3, 3]
+    proj = pts_j @ K.T
+    z = proj[..., 2]
+    u = proj[..., 0] / jnp.maximum(z, 1e-6)
+    v = proj[..., 1] / jnp.maximum(z, 1e-6)
+
+    # Bilinear sample of D_j at (u, v), zeros outside. Track the spread of
+    # the four taps: a large spread means the sample straddles a depth
+    # discontinuity, where interpolated depth is meaningless — mask it out
+    # (the MVS equivalent of the reference app's depth-gradient filter).
+    x0 = jnp.floor(u)
+    y0 = jnp.floor(v)
+    wx = u - x0
+    wy = v - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+    acc = jnp.zeros_like(u)
+    wsum = jnp.zeros_like(u)
+    tap_min = jnp.full_like(u, jnp.inf)
+    tap_max = jnp.zeros_like(u)
+    for dy, dx, wt in ((0, 0, (1 - wx) * (1 - wy)), (0, 1, wx * (1 - wy)),
+                       (1, 0, (1 - wx) * wy), (1, 1, wx * wy)):
+        xi = x0i + dx
+        yi = y0i + dy
+        ok = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+        val = D_j[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+        ok = ok & (val > 0)
+        acc = acc + wt * jnp.where(ok, val, 0.0)
+        wsum = wsum + wt * ok
+        tap_min = jnp.minimum(tap_min, jnp.where(ok, val, jnp.inf))
+        tap_max = jnp.maximum(tap_max, jnp.where(ok, val, 0.0))
+    d_j = jnp.where(wsum > 1e-6, acc / jnp.maximum(wsum, 1e-6), 0.0)
+    smooth = (tap_max - tap_min) < 0.05 * jnp.maximum(tap_max, 1e-6)
+
+    valid = ((d[...] > 0) & (z > 1e-3) & (d_j > 0)
+             & smooth).astype(D_i.dtype)
+    valid = jax.lax.stop_gradient(valid)
+    r = (z - d_j * jnp.exp(sigma_j)) / jnp.maximum(z, 1e-3)
+    return (r * valid).reshape(-1)
+
+
+def _edge_system(T_i0, T_j0, D_i, D_j, K, stride, robust_c):
+    """Per-edge GN blocks at zero perturbation: (r, J_i [M,7], J_j [M,7]).
+
+    Residuals get IRLS Cauchy weights w = 1 / (1 + (r/c)^2) (applied as
+    sqrt(w) to both r and J) so depth-discontinuity and occlusion outliers
+    do not bias the solution — the role of the reference app's depth
+    filtering (`infer_video.py:648-659`) inside the optimizer.
+    """
+    zero = jnp.zeros(7, T_i0.dtype)
+    fn = lambda pi, pj: _edge_residual(pi, pj, T_i0, T_j0, D_i, D_j, K, stride)  # noqa: E731
+    r = fn(zero, zero)
+    J_i = jax.jacfwd(fn, argnums=0)(zero, zero)
+    J_j = jax.jacfwd(fn, argnums=1)(zero, zero)
+    if robust_c > 0:
+        w = jnp.sqrt(1.0 / (1.0 + (r / robust_c) ** 2))
+        r = r * w
+        J_i = J_i * w[:, None]
+        J_j = J_j * w[:, None]
+    return r, J_i, J_j
+
+
+def _accumulate(problem: BAProblem, stride: int, robust_c: float = 0.0):
+    """Dense normal equations over all edges: H [7K,7K], b [7K]."""
+    k = problem.poses.shape[0]
+    r, J_i, J_j = jax.vmap(
+        lambda ti, tj, di, dj: _edge_system(ti, tj, di, dj, problem.K,
+                                            stride, robust_c)
+    )(problem.poses[problem.edges_i], problem.poses[problem.edges_j],
+      problem.depths[problem.edges_i], problem.depths[problem.edges_j])
+
+    H = jnp.zeros((k, 7, k, 7), problem.poses.dtype)
+    b = jnp.zeros((k, 7), problem.poses.dtype)
+    ei, ej = problem.edges_i, problem.edges_j
+    H = H.at[ei, :, ei, :].add(jnp.einsum("emi,emj->eij", J_i, J_i))
+    H = H.at[ej, :, ej, :].add(jnp.einsum("emi,emj->eij", J_j, J_j))
+    H = H.at[ei, :, ej, :].add(jnp.einsum("emi,emj->eij", J_i, J_j))
+    H = H.at[ej, :, ei, :].add(jnp.einsum("emi,emj->eij", J_j, J_i))
+    b = b.at[ei].add(jnp.einsum("emi,em->ei", J_i, r))
+    b = b.at[ej].add(jnp.einsum("emi,em->ei", J_j, r))
+    return H, b
+
+
+def _schur_solve(H: jnp.ndarray, b: jnp.ndarray, k: int, damping: float,
+                 anchor: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Eliminate the scale block and solve the reduced pose system.
+
+    H [k,7,k,7], b [k,7] -> (pose deltas [k,6], scale deltas [k]).
+    """
+    # Split pose (first 6) / scale (last 1) blocks.
+    A = H[:, :6, :, :6].reshape(6 * k, 6 * k)
+    B = H[:, :6, :, 6].reshape(6 * k, k)
+    C = H[:, 6, :, 6].reshape(k, k)
+    b_p = b[:, :6].reshape(6 * k)
+    b_s = b[:, 6].reshape(k)
+
+    # Gauge fixing: anchor keyframe 0's pose and scale.
+    mp = jnp.ones(6 * k).at[6 * anchor:6 * anchor + 6].set(0.0)
+    ms = jnp.ones(k).at[anchor].set(0.0)
+    A = A * mp[:, None] * mp[None, :] + jnp.diag(1.0 - mp)
+    B = B * mp[:, None] * ms[None, :]
+    C = C * ms[:, None] * ms[None, :] + jnp.diag(1.0 - ms)
+    b_p = b_p * mp
+    b_s = b_s * ms
+
+    # Levenberg-Marquardt damping: relative to the diagonal so weakly
+    # constrained directions (near-degenerate scenes) take small steps.
+    A = A + damping * jnp.diag(jnp.diag(A)) + 1e-8 * jnp.eye(6 * k)
+    C = C + damping * jnp.diag(jnp.diag(C)) + 1e-8 * jnp.eye(k)
+
+    Cinv = jnp.linalg.inv(C)
+    # Schur complement: reduced pose system.
+    H_red = A - B @ Cinv @ B.T
+    b_red = b_p - B @ (Cinv @ b_s)
+    dxi = -jnp.linalg.solve(H_red, b_red)
+    dsigma = -Cinv @ (b_s + B.T @ dxi)
+    return (dxi * mp).reshape(k, 6), dsigma * ms
+
+
+@partial(jax.jit, static_argnames=("stride", "iters", "anchor", "robust_c",
+                                   "max_step"))
+def optimize_dense_ba(problem: BAProblem, stride: int = 4, iters: int = 8,
+                      damping: float = 1e-2, anchor: int = 0,
+                      robust_c: float = 0.25, max_step: float = 0.05,
+                      ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Gauss-Newton dense BA. Returns (refined poses [K,4,4],
+    log-scales [K])."""
+    k = problem.poses.shape[0]
+
+    def body(carry, _):
+        poses, sigmas = carry
+        scaled = problem._replace(
+            poses=poses, depths=problem.depths * jnp.exp(sigmas)[:, None, None])
+        H, b = _accumulate(scaled, stride, robust_c)
+        dxi, dsigma = _schur_solve(H, b, k, damping, anchor)
+        # Trust region: clip per-keyframe twist norms so a single
+        # ill-conditioned iteration cannot leave the basin.
+        norm = jnp.linalg.norm(dxi, axis=-1, keepdims=True)
+        dxi = dxi * jnp.minimum(1.0, max_step / jnp.maximum(norm, 1e-12))
+        dsigma = jnp.clip(dsigma, -max_step, max_step)
+        return (poses @ se3_exp(dxi), sigmas + dsigma), None
+
+    (poses, sigmas), _ = jax.lax.scan(
+        body, (problem.poses, jnp.zeros(k, problem.poses.dtype)), None,
+        length=iters)
+    return poses, sigmas
+
+
+def make_sharded_accumulate(mesh, stride: int):
+    """Edge-sharded normal-equation accumulation via shard_map + psum.
+
+    Returns a function (problem) -> (H, b) where the per-edge residual and
+    Jacobian work is partitioned over the mesh's ``data`` axis and the
+    global system is assembled with an all-reduce — the distributed-BA
+    communication pattern (keyframe state replicated, edge work sharded).
+    Edge count must be divisible by the axis size (pad with weight-0
+    self-edges if needed).
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+
+    def local(poses, depths, K, edges_i, edges_j):
+        problem = BAProblem(poses, depths, K, edges_i, edges_j)
+        H, b = _accumulate(problem, stride)
+        return (jax.lax.psum(H, axis_name="data"),
+                jax.lax.psum(b, axis_name="data"))
+
+    fn = shard_map(
+        local, mesh=mesh,
+        in_specs=(P(), P(), P(), P("data"), P("data")),
+        out_specs=(P(), P()))
+
+    def run(problem: BAProblem):
+        return fn(problem.poses, problem.depths, problem.K,
+                  problem.edges_i, problem.edges_j)
+
+    return run

@@ -47,6 +47,7 @@ from dro_sfm_tpu.models.update import (
     UpMaskNet,
 )
 from dro_sfm_tpu.ops.depth_ops import depth2inv, disp_to_depth, inv2depth  # noqa: F401 (re-export)
+from dro_sfm_tpu.ops.matmul_warp import bilinear_sample_matmul
 from dro_sfm_tpu.ops.resample import bilinear_sample
 from dro_sfm_tpu.ops.upsample import convex_upsample
 
@@ -87,7 +88,8 @@ class VersionSpec:
         )
 
 
-def warp_cost(fmap1, fmaps_ref, depth, pose_vecs, K_scaled):
+def warp_cost(fmap1, fmaps_ref, depth, pose_vecs, K_scaled,
+              impl: str = "gather"):
     """Per-pixel feature-metric cost for every view.
 
     fmap1 [B,h,w,C]; fmaps_ref [B,N,h,w,C]; depth [B,h,w,1];
@@ -96,6 +98,10 @@ def warp_cost(fmap1, fmaps_ref, depth, pose_vecs, K_scaled):
     Parity: `DepthPoseNet.py:76-96` — lift target pixels with depth,
     project into each reference camera (Tcw = pose), bilinearly sample the
     reference features (zeros padding, align_corners), squared difference.
+
+    ``impl`` selects the sampler: "gather" (XLA gather; scatter-add in the
+    backward) or "matmul" (dense tent-weight contraction on the MXU — no
+    scatters, fastest for the small stride-8 grids of the refinement loop).
     """
     cam = Camera(K_scaled)
     world_points = cam.reconstruct(depth, frame="w")   # [B,h,w,3]
@@ -107,7 +113,12 @@ def warp_cost(fmap1, fmaps_ref, depth, pose_vecs, K_scaled):
         jnp.broadcast_to(world_points[:, None],
                          (*pose_vecs.shape[:2], *world_points.shape[1:])),
         frame="w", normalize=False)                    # [B,N,h,w,2]
-    warped = bilinear_sample(fmaps_ref, coords)        # [B,N,h,w,C]
+    if impl == "matmul":
+        warped = bilinear_sample_matmul(fmaps_ref, coords,
+                                        compute_dtype=jnp.bfloat16)
+        warped = warped.astype(fmap1.dtype)
+    else:
+        warped = bilinear_sample(fmaps_ref, coords)    # [B,N,h,w,C]
     diff = fmap1[:, None] - warped
     return diff * diff
 
@@ -122,6 +133,8 @@ class _DepthStep(nn.Module):
     min_depth: float
     max_depth: float
     out_normalize: bool
+    dtype: Any = jnp.float32
+    warp_impl: str = "gather"
 
     @nn.compact
     def __call__(self, carry, _):
@@ -130,10 +143,10 @@ class _DepthStep(nn.Module):
                   if self.out_normalize else inv_depth)
         cost = warp_cost(consts["fmap1"], consts["fmaps_ref"],
                          inv2depth(scaled), consts["poses"],
-                         consts["K"]).mean(axis=1)
+                         consts["K"], impl=self.warp_impl).mean(axis=1)
         hidden, delta, mask = DepthUpdateCell(
             hidden_dim=self.hidden_dim, context_dim=self.context_dim,
-            ratio=self.ratio, name="cell")(
+            ratio=self.ratio, dtype=self.dtype, name="cell")(
                 hidden, inv_depth, cost, consts["inp"])
         inv_depth = inv_depth + delta
         return (hidden, inv_depth, consts), (inv_depth, mask)
@@ -145,16 +158,19 @@ class _PoseStep(nn.Module):
     GRU cell, integrate (`update.py:184-199`)."""
     hidden_dim: int
     context_dim: int
+    dtype: Any = jnp.float32
+    warp_impl: str = "gather"
 
     @nn.compact
     def __call__(self, carry, _):
         hidden, poses, consts = carry                  # poses [B,N,6]
         b, n = poses.shape[0], poses.shape[1]
         cost = warp_cost(consts["fmap1"], consts["fmaps_ref"],
-                         consts["depth"], poses, consts["K"])  # [B,N,h,w,C]
+                         consts["depth"], poses, consts["K"],
+                         impl=self.warp_impl)          # [B,N,h,w,C]
         hidden, delta = PoseUpdateCell(
             hidden_dim=self.hidden_dim, context_dim=self.context_dim,
-            name="cell")(
+            dtype=self.dtype, name="cell")(
                 hidden, poses.reshape(b * n, 6),
                 cost.reshape(b * n, *cost.shape[2:]), consts["inp"])
         poses = poses + delta.reshape(b, n, 6)
@@ -170,6 +186,8 @@ class _OuterIteration(nn.Module):
     ratio: int
     min_depth: float
     max_depth: float
+    dtype: Any = jnp.float32
+    warp_impl: str = "gather"
 
     @nn.compact
     def __call__(self, carry, _):
@@ -194,6 +212,7 @@ class _OuterIteration(nn.Module):
             hidden_dim=spec.hidden_dim, context_dim=self.context_dim,
             ratio=self.ratio, min_depth=self.min_depth,
             max_depth=self.max_depth, out_normalize=spec.out_normalize,
+            dtype=self.dtype, warp_impl=self.warp_impl,
             name="update_block_depth")(
                 (hidden_d, inv_depth, depth_consts), None)
 
@@ -206,6 +225,7 @@ class _OuterIteration(nn.Module):
             split_rngs={"params": False}, length=spec.seq_len)
         (hidden_p, poses, _), p_seq = PoseScan(
             hidden_dim=spec.hidden_dim, context_dim=self.context_dim,
+            dtype=self.dtype, warp_impl=self.warp_impl,
             name="update_block_pose")(
                 (hidden_p, poses, pose_consts), None)
 
@@ -226,6 +246,9 @@ class DepthPoseNet(nn.Module):
     feat_dim: int = 128      # foutput_dim (`DepthPoseNet.py:44`)
     feat_ratio: int = 8      # output stride of the feature net
     context_dim: int = 32    # cdim (`DepthPoseNet.py:53`)
+    dtype: Any = jnp.float32  # conv compute dtype (bfloat16 for MXU speed);
+                              # geometry, GRU states and heads stay fp32
+    warp_impl: str = "gather"  # "gather" | "matmul" (see warp_cost)
 
     @property
     def spec(self) -> VersionSpec:
@@ -254,15 +277,18 @@ class DepthPoseNet(nn.Module):
         hdim, cdim = spec.hidden_dim, self.context_dim
 
         fnet = ResNetEncoder(out_chs=self.feat_dim, stride=self.feat_ratio,
-                             name="fnet")
+                             dtype=self.dtype, name="fnet")
         cnet_depth = ResNetEncoder(out_chs=hdim + cdim, stride=self.feat_ratio,
-                                   name="cnet_depth")
+                                   dtype=self.dtype, name="cnet_depth")
         cnet_pose = ResNetEncoder(out_chs=hdim + cdim, stride=self.feat_ratio,
-                                  num_input_images=2, name="cnet_pose")
-        depth_head = DepthHead(hidden_dim=self.feat_dim, name="depth_head")
-        pose_head = PoseHead(hidden_dim=self.feat_dim, name="pose_head")
+                                  num_input_images=2, dtype=self.dtype,
+                                  name="cnet_pose")
+        depth_head = DepthHead(hidden_dim=self.feat_dim, dtype=self.dtype,
+                               name="depth_head")
+        pose_head = PoseHead(hidden_dim=self.feat_dim, dtype=self.dtype,
+                             name="pose_head")
         upmask_net = UpMaskNet(hidden_dim=self.feat_dim, ratio=self.feat_ratio,
-                               name="upmask_net")
+                               dtype=self.dtype, name="upmask_net")
 
         def fold(x):  # [B,N,...] -> [B*N,...]
             return x.reshape(b * n, *x.shape[2:])
@@ -282,7 +308,7 @@ class DepthPoseNet(nn.Module):
         pose_init = pose_head(fold(pair_feats)).reshape(b, n, 6)
 
         # 3) Initial depth + convex upsampling (`:123-128`).
-        inv_depth_init = depth_head(fmap1, act_fn=nn.sigmoid)  # [B,h,w,1]
+        inv_depth_init = depth_head(fmap1, act_fn=nn.sigmoid)  # [B,h,w,1] fp32
         up_mask_init = upmask_net(fmap1)
 
         coarse_preds = [inv_depth_init[None]]       # [1,B,h,w,1]
@@ -291,13 +317,13 @@ class DepthPoseNet(nn.Module):
 
         # 4) Context features for the GRUs (`:132-147`).
         if spec.outer_iters > 0:
-            cd = cnet_depth(target, train=train)
+            cd = cnet_depth(target, train=train).astype(jnp.float32)
             hidden_d = jnp.tanh(cd[..., :hdim])
             inp_d = nn.relu(cd[..., hdim:])
 
             pairs = jnp.concatenate(
                 [jnp.broadcast_to(target[:, None], refs.shape), refs], axis=-1)
-            cp = cnet_pose(fold(pairs), train=train)
+            cp = cnet_pose(fold(pairs), train=train).astype(jnp.float32)
             hidden_p = jnp.tanh(cp[..., :hdim])      # [B*N,h,w,hdim]
             inp_p = nn.relu(cp[..., hdim:])
 
@@ -312,6 +338,7 @@ class DepthPoseNet(nn.Module):
             _, (d_out, m_out, p_out) = OuterScan(
                 spec=spec, context_dim=cdim, ratio=self.feat_ratio,
                 min_depth=self.min_depth, max_depth=self.max_depth,
+                dtype=self.dtype, warp_impl=self.warp_impl,
                 name="refinement")(carry, None)
             # [O,keep,...] -> [O*keep,...]
             coarse_preds.append(d_out.reshape(-1, *d_out.shape[2:]))

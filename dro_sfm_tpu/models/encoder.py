@@ -15,7 +15,7 @@ Differences from the torch original, by design:
 """
 from __future__ import annotations
 
-from typing import Sequence
+from typing import Any, Sequence
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -30,24 +30,26 @@ class BasicBlock(nn.Module):
     features: int
     strides: int = 1
     use_running_average: bool = True
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         norm = lambda name: nn.BatchNorm(  # noqa: E731
             use_running_average=self.use_running_average,
-            momentum=0.9, epsilon=1e-5, name=name)
+            momentum=0.9, epsilon=1e-5, dtype=self.dtype, name=name)
         residual = x
         y = nn.Conv(self.features, (3, 3), strides=self.strides, padding=1,
-                    use_bias=False, kernel_init=_conv_init, name="conv1")(x)
+                    use_bias=False, kernel_init=_conv_init, dtype=self.dtype,
+                    name="conv1")(x)
         y = norm("bn1")(y)
         y = nn.relu(y)
         y = nn.Conv(self.features, (3, 3), padding=1, use_bias=False,
-                    kernel_init=_conv_init, name="conv2")(y)
+                    kernel_init=_conv_init, dtype=self.dtype, name="conv2")(y)
         y = norm("bn2")(y)
         if self.strides != 1 or x.shape[-1] != self.features:
             residual = nn.Conv(self.features, (1, 1), strides=self.strides,
                                use_bias=False, kernel_init=_conv_init,
-                               name="downsample_conv")(x)
+                               dtype=self.dtype, name="downsample_conv")(x)
             residual = norm("downsample_bn")(residual)
         return nn.relu(y + residual)
 
@@ -63,6 +65,7 @@ class ResNetEncoder(nn.Module):
     stride: int = 8
     num_input_images: int = 1
     layers: Sequence[int] = (2, 2, 2)  # blocks in layer1..layer3 (resnet18)
+    dtype: Any = jnp.float32  # compute dtype (bfloat16 for MXU speed)
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -71,10 +74,12 @@ class ResNetEncoder(nn.Module):
             raise NotImplementedError(f"stride {self.stride}")
         ura = not train
         norm = lambda name: nn.BatchNorm(  # noqa: E731
-            use_running_average=ura, momentum=0.9, epsilon=1e-5, name=name)
+            use_running_average=ura, momentum=0.9, epsilon=1e-5,
+            dtype=self.dtype, name=name)
 
         y = nn.Conv(64, (7, 7), strides=2, padding=3, use_bias=False,
-                    kernel_init=_conv_init, name="conv1")(x)
+                    kernel_init=_conv_init, dtype=self.dtype,
+                    name="conv1")(x.astype(self.dtype))
         y = nn.relu(norm("bn1")(y))
         y = nn.max_pool(y, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
 
@@ -84,12 +89,12 @@ class ResNetEncoder(nn.Module):
             for bi in range(blocks):
                 strides = 2 if (li > 1 and bi == 0) else 1
                 y = BasicBlock(width, strides=strides, use_running_average=ura,
-                               name=f"layer{li}_block{bi}")(y)
+                               dtype=self.dtype, name=f"layer{li}_block{bi}")(y)
             feats[f"s{4 * 2 ** (li - 1)}"] = y
 
         def upconv(z, features, name):
             z = nn.Conv(features, (3, 3), padding=1, kernel_init=_conv_init,
-                        name=name)(z)
+                        dtype=self.dtype, name=name)(z)
             return nn.relu(z)
 
         # stride 16 -> 8 (extractor.py:87-91)
@@ -105,4 +110,4 @@ class ResNetEncoder(nn.Module):
             y = upconv(jnp.concatenate([y, feats["s4"]], axis=-1), 64,
                        "upconv2_fusion")
         return nn.Conv(self.out_chs, (3, 3), padding=1, kernel_init=_conv_init,
-                       name="out_conv")(y)
+                       dtype=self.dtype, name="out_conv")(y)

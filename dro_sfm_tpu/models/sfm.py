@@ -44,6 +44,8 @@ class SfmModelConfig:
     flip_lr_prob: float = 0.5
     supervised_loss_weight: float = 0.9   # SemiSup only (`SemiSupModelMF.py:21`)
     photometric: PhotometricLossConfig = PhotometricLossConfig()
+    mixed_precision: bool = False         # bfloat16 convs (fp32 geometry)
+    warp_impl: str = "gather"             # warp sampler: gather | matmul
 
     def __post_init__(self):
         if self.name not in MODEL_NAMES:
@@ -58,8 +60,11 @@ class SfmModelConfig:
         return self.name in ("SupModelMF", "SemiSupModelMFPose")
 
     def build_net(self) -> DepthPoseNet:
-        return DepthPoseNet(version=self.version, min_depth=self.min_depth,
-                            max_depth=self.max_depth)
+        return DepthPoseNet(
+            version=self.version, min_depth=self.min_depth,
+            max_depth=self.max_depth,
+            dtype=jnp.bfloat16 if self.mixed_precision else jnp.float32,
+            warp_impl=self.warp_impl)
 
     @property
     def supervised(self) -> SupervisedLossConfig:

@@ -6,7 +6,7 @@ TPU-native rebuild of `/root/reference/dro_sfm/networks/optim/update.py`
 """
 from __future__ import annotations
 
-from typing import Callable
+from typing import Any, Callable
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -14,35 +14,41 @@ import jax.numpy as jnp
 _conv_init = nn.initializers.he_normal()
 
 
-def _conv(features, kernel, name, padding=None):
+def _conv(features, kernel, name, padding=None, dtype=jnp.float32):
     if padding is None:
         padding = tuple((k // 2, k // 2) for k in kernel)
     return nn.Conv(features, kernel, padding=padding, kernel_init=_conv_init,
-                   name=name)
+                   dtype=dtype, name=name)
 
 
 class DepthHead(nn.Module):
     """Two 3x3 convs -> 1-channel map through an activation
-    (`update.py:5-15`)."""
+    (`update.py:5-15`). The final conv runs in fp32 — depth deltas are
+    geometry-critical."""
     hidden_dim: int = 128
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray,
                  act_fn: Callable = jnp.tanh) -> jnp.ndarray:
-        y = nn.relu(_conv(self.hidden_dim, (3, 3), "conv1")(x))
-        return act_fn(_conv(1, (3, 3), "conv2")(y))
+        y = nn.relu(_conv(self.hidden_dim, (3, 3), "conv1",
+                          dtype=self.dtype)(x))
+        return act_fn(_conv(1, (3, 3), "conv2")(y.astype(jnp.float32)))
 
 
 class PoseHead(nn.Module):
     """Two 3x3 convs -> global mean -> 6-DoF vector with the rotation part
     scaled by 0.01 (`update.py:17-28`; the scale applies to the *last* three
-    channels, which `pose_vec_to_mat` reads as rotation)."""
+    channels, which `pose_vec_to_mat` reads as rotation). The final conv and
+    mean run in fp32 — pose deltas are geometry-critical."""
     hidden_dim: int = 128
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        y = nn.relu(_conv(self.hidden_dim, (3, 3), "conv1")(x))
-        y = _conv(6, (3, 3), "conv2")(y)
+        y = nn.relu(_conv(self.hidden_dim, (3, 3), "conv1",
+                          dtype=self.dtype)(x))
+        y = _conv(6, (3, 3), "conv2")(y.astype(jnp.float32))
         y = y.mean(axis=(-3, -2))  # [B, 6]
         return jnp.concatenate([y[..., :3], 0.01 * y[..., 3:]], axis=-1)
 
@@ -52,25 +58,35 @@ class UpMaskNet(nn.Module):
     (`update.py:128-139`)."""
     hidden_dim: int = 128
     ratio: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:
-        y = nn.relu(_conv(self.hidden_dim * 2, (3, 3), "conv1")(feat))
-        return 0.25 * _conv(self.ratio * self.ratio * 9, (1, 1), "conv2")(y)
+        y = nn.relu(_conv(self.hidden_dim * 2, (3, 3), "conv1",
+                          dtype=self.dtype)(feat))
+        return 0.25 * _conv(self.ratio * self.ratio * 9, (1, 1),
+                            "conv2")(y.astype(jnp.float32))
 
 
 class SepConvGRU(nn.Module):
-    """Separable (1x5 then 5x1) convolutional GRU (`update.py:47-74`)."""
+    """Separable (1x5 then 5x1) convolutional GRU (`update.py:47-74`).
+
+    Gates compute in ``dtype``; the hidden state stays fp32 so small
+    recurrent updates are not rounded away."""
     hidden_dim: int = 128
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         for suffix, kernel in (("1", (1, 5)), ("2", (5, 1))):
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convz{suffix}")(hx))
-            r = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convr{suffix}")(hx))
-            q = jnp.tanh(_conv(self.hidden_dim, kernel, f"convq{suffix}")(
-                jnp.concatenate([r * h, x], axis=-1)))
+            z = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convz{suffix}",
+                                 dtype=self.dtype)(hx).astype(jnp.float32))
+            r = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convr{suffix}",
+                                 dtype=self.dtype)(hx).astype(jnp.float32))
+            q = jnp.tanh(_conv(self.hidden_dim, kernel, f"convq{suffix}",
+                               dtype=self.dtype)(
+                jnp.concatenate([r * h, x], axis=-1)).astype(jnp.float32))
             h = (1.0 - z) * h + z * q
         return h
 
@@ -97,16 +113,19 @@ class ProjectionInputDepth(nn.Module):
     """
     hidden_dim: int
     out_chs: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, inv_depth: jnp.ndarray, cost: jnp.ndarray) -> jnp.ndarray:
-        c = nn.relu(_conv(self.hidden_dim, (1, 1), "convc1")(cost))
-        c = nn.relu(_conv(self.hidden_dim, (3, 3), "convc2")(c))
-        d = nn.relu(_conv(self.hidden_dim, (7, 7), "convd1")(inv_depth))
-        d = nn.relu(_conv(64, (3, 3), "convd2")(d))
-        y = nn.relu(_conv(self.out_chs - 1, (3, 3), "convd")(
+        dt = self.dtype
+        c = nn.relu(_conv(self.hidden_dim, (1, 1), "convc1", dtype=dt)(cost))
+        c = nn.relu(_conv(self.hidden_dim, (3, 3), "convc2", dtype=dt)(c))
+        d = nn.relu(_conv(self.hidden_dim, (7, 7), "convd1",
+                          dtype=dt)(inv_depth.astype(dt)))
+        d = nn.relu(_conv(64, (3, 3), "convd2", dtype=dt)(d))
+        y = nn.relu(_conv(self.out_chs - 1, (3, 3), "convd", dtype=dt)(
             jnp.concatenate([c, d], axis=-1)))
-        return jnp.concatenate([y, inv_depth], axis=-1)
+        return jnp.concatenate([y.astype(jnp.float32), inv_depth], axis=-1)
 
 
 class ProjectionInputPose(nn.Module):
@@ -115,18 +134,21 @@ class ProjectionInputPose(nn.Module):
     and appended as the last six channels."""
     hidden_dim: int
     out_chs: int
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, pose: jnp.ndarray, cost: jnp.ndarray) -> jnp.ndarray:
+        dt = self.dtype
         b, h, w = cost.shape[0], cost.shape[-3], cost.shape[-2]
-        c = nn.relu(_conv(self.hidden_dim, (1, 1), "convc1")(cost))
-        c = nn.relu(_conv(self.hidden_dim, (3, 3), "convc2")(c))
+        c = nn.relu(_conv(self.hidden_dim, (1, 1), "convc1", dtype=dt)(cost))
+        c = nn.relu(_conv(self.hidden_dim, (3, 3), "convc2", dtype=dt)(c))
         pose_map = jnp.broadcast_to(pose[:, None, None, :], (b, h, w, 6))
-        p = nn.relu(_conv(self.hidden_dim, (7, 7), "convp1")(pose_map))
-        p = nn.relu(_conv(64, (3, 3), "convp2")(p))
-        y = nn.relu(_conv(self.out_chs - 6, (3, 3), "convp")(
+        p = nn.relu(_conv(self.hidden_dim, (7, 7), "convp1",
+                          dtype=dt)(pose_map.astype(dt)))
+        p = nn.relu(_conv(64, (3, 3), "convp2", dtype=dt)(p))
+        y = nn.relu(_conv(self.out_chs - 6, (3, 3), "convp", dtype=dt)(
             jnp.concatenate([c, p], axis=-1)))
-        return jnp.concatenate([y, pose_map], axis=-1)
+        return jnp.concatenate([y.astype(jnp.float32), pose_map], axis=-1)
 
 
 class DepthUpdateCell(nn.Module):
@@ -140,17 +162,21 @@ class DepthUpdateCell(nn.Module):
     hidden_dim: int = 128
     context_dim: int = 32
     ratio: int = 8
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, net, inv_depth, cost, context):
         feats = ProjectionInputDepth(
             hidden_dim=self.hidden_dim, out_chs=self.hidden_dim,
-            name="encoder")(inv_depth, cost)
+            dtype=self.dtype, name="encoder")(inv_depth, cost)
         inp = jnp.concatenate([context, feats], axis=-1)
-        net = SepConvGRU(hidden_dim=self.hidden_dim, name="gru")(net, inp)
-        delta = DepthHead(hidden_dim=self.hidden_dim, name="head")(net)
+        net = SepConvGRU(hidden_dim=self.hidden_dim, dtype=self.dtype,
+                         name="gru")(net, inp)
+        delta = DepthHead(hidden_dim=self.hidden_dim, dtype=self.dtype,
+                          name="head")(net)
         mask = 0.25 * nn.Sequential([
-            _conv(self.hidden_dim * 2, (3, 3), "mask1"), nn.relu,
+            _conv(self.hidden_dim * 2, (3, 3), "mask1", dtype=self.dtype),
+            nn.relu,
             _conv(self.ratio * self.ratio * 9, (1, 1), "mask2")])(net)
         return net, delta, mask
 
@@ -159,13 +185,16 @@ class PoseUpdateCell(nn.Module):
     """One inner pose-refinement step (`update.py:176-199`, loop body)."""
     hidden_dim: int = 128
     context_dim: int = 32
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, net, pose, cost, context):
         feats = ProjectionInputPose(
             hidden_dim=self.hidden_dim, out_chs=self.hidden_dim,
-            name="encoder")(pose, cost)
+            dtype=self.dtype, name="encoder")(pose, cost)
         inp = jnp.concatenate([context, feats], axis=-1)
-        net = SepConvGRU(hidden_dim=self.hidden_dim, name="gru")(net, inp)
-        delta = PoseHead(hidden_dim=self.hidden_dim, name="head")(net)
+        net = SepConvGRU(hidden_dim=self.hidden_dim, dtype=self.dtype,
+                         name="gru")(net, inp)
+        delta = PoseHead(hidden_dim=self.hidden_dim, dtype=self.dtype,
+                         name="head")(net)
         return net, delta

@@ -1,0 +1,70 @@
+"""Small helpers: dict filtering, list coercion, shape checks.
+
+Rebuild of `/root/reference/dro_sfm/utils/misc.py:6-80` and
+`/root/reference/dro_sfm/utils/types.py:8-42`.
+"""
+from __future__ import annotations
+
+from typing import Any, Iterable, List, Sequence
+
+import numpy as np
+
+
+def filter_dict(dictionary: dict, keywords: Iterable[str]) -> List[str]:
+    """Keys of ``dictionary`` present in ``keywords`` (`misc.py:6-24`)."""
+    return [k for k in keywords if k in dictionary]
+
+
+def make_list(var: Any, n: int | None = None) -> list:
+    """Wrap into a list, optionally broadcast to length n (`misc.py:27-58`)."""
+    var = var if isinstance(var, list) else [var]
+    if n is None:
+        return var
+    if len(var) == 1:
+        return var * n
+    assert len(var) == n, "Wrong list length for make_list"
+    return var
+
+
+def same_shape(shape1: Sequence[int], shape2: Sequence[int]) -> bool:
+    """True if two shapes match (`misc.py:61-80`)."""
+    return len(shape1) == len(shape2) and all(
+        a == b for a, b in zip(shape1, shape2))
+
+
+# -- type predicates (`types.py:8-42`) --------------------------------------
+
+def is_numpy(data) -> bool:
+    return isinstance(data, np.ndarray)
+
+
+def is_array(data) -> bool:
+    try:
+        import jax
+        return isinstance(data, (np.ndarray, jax.Array))
+    except ImportError:
+        return isinstance(data, np.ndarray)
+
+
+def is_tuple(data) -> bool:
+    return isinstance(data, tuple)
+
+
+def is_list(data) -> bool:
+    return isinstance(data, list)
+
+
+def is_seq(data) -> bool:
+    return isinstance(data, (list, tuple))
+
+
+def is_dict(data) -> bool:
+    return isinstance(data, dict)
+
+
+def is_str(data) -> bool:
+    return isinstance(data, str)
+
+
+def is_int(data) -> bool:
+    return isinstance(data, int)

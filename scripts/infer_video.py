@@ -32,6 +32,11 @@ def parse_args():
     p.add_argument("--grad-max", type=float, default=0.05)
     p.add_argument("--ply-stride", type=int, default=4,
                    help="subsample factor for point-cloud accumulation")
+    p.add_argument("--ba", action="store_true",
+                   help="refine the keyframe trajectory with distributed "
+                        "dense bundle adjustment (Schur-reduced GN)")
+    p.add_argument("--ba-stride", type=int, default=2,
+                   help="keyframe subsampling for BA")
     return p.parse_args()
 
 
@@ -151,6 +156,38 @@ def main():
 
     writer.release()
     np.save(os.path.join(args.output, "depths.npy"), np.stack(depths_out))
+
+    if args.ba and len(pose_list) >= 3:
+        # Keyframe dense BA: depth-consistency refinement of the chained
+        # trajectory (downsampled depth maps, covisibility = +-2 keyframes).
+        from dro_sfm_tpu.ba import BAProblem, optimize_dense_ba
+        kf = list(range(0, len(pose_list), args.ba_stride))
+        s = 4  # depth downsample for BA
+        K_ba = K.copy()
+        K_ba[0] /= s
+        K_ba[1] /= s
+        kf_depths = np.stack([depths_out[i][::s, ::s] for i in kf])
+        kf_poses = np.stack([pose_list[i] for i in kf]).astype(np.float32)
+        ei, ej = [], []
+        for a in range(len(kf)):
+            for b_ in range(max(0, a - 2), min(len(kf), a + 3)):
+                if a != b_:
+                    ei.append(a)
+                    ej.append(b_)
+        import jax.numpy as jnp2
+        problem = BAProblem(jnp2.asarray(kf_poses), jnp2.asarray(kf_depths),
+                            jnp2.asarray(K_ba), jnp2.asarray(ei),
+                            jnp2.asarray(ej))
+        refined, sigmas = optimize_dense_ba(problem, stride=1, iters=6)
+        refined = np.asarray(refined)
+        for a, i in enumerate(kf):
+            pose_list[i] = refined[a]
+        accum.trajectory = pose_list
+        np.save(os.path.join(args.output, "ba_scales.npy"),
+                np.exp(np.asarray(sigmas)))
+        print(f"dense BA refined {len(kf)} keyframes "
+              f"(scales {np.exp(np.asarray(sigmas)).round(3)})")
+
     accum.save_json(os.path.join(args.output, "trajectory.json"))
     plot_trajectory(os.path.join(args.output, "trajectory.png"),
                     accum.trajectory)
