@@ -49,7 +49,8 @@ def setup_dataset(section, augmentation, mode: str) -> Dataset:
     # Import for registration side effects; tolerate partial builds while the
     # full reader set lands.
     import importlib
-    for mod in ("kitti", "scannet", "demon", "matterport", "nyu", "video"):
+    for mod in ("kitti", "scannet", "demon", "demon_mf", "matterport", "nyu",
+                "video", "extra"):
         try:
             importlib.import_module(f"dro_sfm_tpu.data.{mod}")
         except ImportError:
@@ -72,13 +73,11 @@ def setup_dataset(section, augmentation, mode: str) -> Dataset:
         if mode == "train" and repeat > 1:
             ds = RepeatedDataset(ds, repeat)
         datasets.append(ds)
-    if len(datasets) == 1:
-        return datasets[0]
     if mode == "train":
-        return ConcatDataset(datasets)
-    # Eval keeps datasets separate in the reference; round 1 evaluates the
-    # first (multi-dataset eval lists arrive with the full trainer).
-    return datasets[0]
+        return datasets[0] if len(datasets) == 1 else ConcatDataset(datasets)
+    # Eval keeps datasets separate (`model_wrapper.py:105-130`): the trainer
+    # evaluates each with its own metric prefix.
+    return datasets
 
 
 __all__ = [

@@ -205,8 +205,12 @@ class _OuterIteration(nn.Module):
                         "fmaps_ref": consts["fmaps_ref"],
                         "poses": poses, "K": consts["K"],
                         "inp": consts["inp_d"]}
+        # remat: recompute each refinement step in the backward pass instead
+        # of storing every inner activation — the nested scans otherwise keep
+        # O(outer x seq x hidden activations) alive (OOM at batch 16,
+        # HBM-bandwidth-bound below that).
         DepthScan = nn.scan(
-            _DepthStep, variable_broadcast="params",
+            nn.remat(_DepthStep), variable_broadcast="params",
             split_rngs={"params": False}, length=spec.seq_len)
         (hidden_d, inv_depth, _), (d_seq, m_seq) = DepthScan(
             hidden_dim=spec.hidden_dim, context_dim=self.context_dim,
@@ -221,7 +225,7 @@ class _OuterIteration(nn.Module):
                        "depth": depth_frozen, "K": consts["K"],
                        "inp": consts["inp_p"]}
         PoseScan = nn.scan(
-            _PoseStep, variable_broadcast="params",
+            nn.remat(_PoseStep), variable_broadcast="params",
             split_rngs={"params": False}, length=spec.seq_len)
         (hidden_p, poses, _), p_seq = PoseScan(
             hidden_dim=spec.hidden_dim, context_dim=self.context_dim,

@@ -68,8 +68,13 @@ class ResNetEncoder(nn.Module):
     dtype: Any = jnp.float32  # compute dtype (bfloat16 for MXU speed)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
-        """x: [B, H, W, 3 * num_input_images] -> [B, H/stride, W/stride, out_chs]."""
+    def __call__(self, x: jnp.ndarray, train: bool = False,
+                 return_trunk: bool = False) -> jnp.ndarray:
+        """x: [B, H, W, 3 * num_input_images] -> [B, H/stride, W/stride, out_chs].
+
+        ``return_trunk`` short-circuits after layer3 (stride 16) — used by
+        weight-conversion parity tests against torchvision.
+        """
         if self.stride not in (8, 4):
             raise NotImplementedError(f"stride {self.stride}")
         ura = not train
@@ -91,6 +96,9 @@ class ResNetEncoder(nn.Module):
                 y = BasicBlock(width, strides=strides, use_running_average=ura,
                                dtype=self.dtype, name=f"layer{li}_block{bi}")(y)
             feats[f"s{4 * 2 ** (li - 1)}"] = y
+
+        if return_trunk:
+            return y
 
         def upconv(z, features, name):
             z = nn.Conv(features, (3, 3), padding=1, kernel_init=_conv_init,

@@ -66,23 +66,31 @@ class Trainer:
             crop=cfg.model.params.crop,
             min_depth=cfg.model.params.min_depth,
             max_depth=cfg.model.params.max_depth)
-        self.mesh = make_mesh()
+        # Data-parallel axis = largest divisor of the per-host batch that the
+        # device count supports (a 2-sample debug batch on an 8-device mesh
+        # shards over 2, replicating across the rest).
+        n_dev = len(jax.devices())
+        bs = cfg.datasets.train.batch_size
+        dp = max(d for d in range(1, n_dev + 1) if bs % d == 0 and n_dev % d == 0)
+        self.mesh = make_mesh(jax.devices()[:dp])
         self.rng = jax.random.PRNGKey(cfg.arch.seed)
 
-        # Datasets + loaders
+        # Datasets + loaders. Eval datasets stay separate per split entry
+        # (`model_wrapper.py:105-130`): one loader + metric prefix each.
         aug = cfg.datasets.augmentation
         self.train_dataset = setup_dataset(cfg.datasets.train, aug, "train")
-        self.val_dataset = setup_dataset(cfg.datasets.validation, aug,
-                                         "validation")
-        self.test_dataset = None
+        self.val_datasets = setup_dataset(cfg.datasets.validation, aug,
+                                          "validation")
+        self.test_datasets = None
         if cfg.datasets.test.dataset:
-            self.test_dataset = setup_dataset(cfg.datasets.test, aug, "test")
+            self.test_datasets = setup_dataset(cfg.datasets.test, aug, "test")
         self.train_loader = make_loader(
             self.train_dataset, cfg.datasets.train.batch_size, "train",
             num_workers=cfg.datasets.train.num_workers, seed=cfg.arch.seed)
-        self.val_loader = make_loader(
-            self.val_dataset, cfg.datasets.validation.batch_size, "validation",
-            num_workers=cfg.datasets.validation.num_workers)
+        self.val_loaders = [
+            make_loader(ds, cfg.datasets.validation.batch_size, "validation",
+                        num_workers=cfg.datasets.validation.num_workers)
+            for ds in self.val_datasets]
 
         # Optimizer / state
         steps_per_epoch = max(1, len(self.train_loader))
@@ -103,7 +111,7 @@ class Trainer:
 
         # Jitted steps
         self.train_step = make_train_step(self.model_cfg, self.net)
-        demon = (list(cfg.datasets.validation.dataset) == ["Demon"])
+        demon = ("Demon" in list(cfg.datasets.validation.dataset))
         self.eval_step = make_eval_step(self.model_cfg, self.net,
                                         self.metrics_cfg, demon_scaling=demon)
 
@@ -153,9 +161,26 @@ class Trainer:
                 "train_frames_per_sec": n_frames / max(dt, 1e-9)}
 
     # ------------------------------------------------------------------
+    def validate_all(self, loaders=None, split: str = "validation",
+                     save_artifacts: bool = False) -> Dict[str, float]:
+        """Evaluate every dataset of a split; the first provides the
+        unprefixed monitored metrics, later ones get -<i> prefixes."""
+        loaders = loaders if loaders is not None else self.val_loaders
+        results: Dict[str, float] = {}
+        for i, loader in enumerate(loaders):
+            section = self.cfg.datasets[split]
+            name = f"{section.dataset[i]}-{section.split[i]}" \
+                if i < len(section.dataset) else f"{split}-{i}"
+            r = self.validate(loader, dataset_name=name,
+                              save_artifacts=save_artifacts)
+            if i == 0:
+                results.update(r)
+            results.update({f"{k}-{i}": v for k, v in r.items()})
+        return results
+
     def validate(self, loader=None, dataset_name: str = "validation",
                  save_artifacts: bool = False) -> Dict[str, float]:
-        loader = loader or self.val_loader
+        loader = loader or self.val_loaders[0]
         variables = self.state.variables
         sums = {m: np.zeros(9) for m in METRIC_MODES}
         pose_sum = np.zeros(3)
@@ -198,7 +223,7 @@ class Trainer:
         for epoch in range(self.current_epoch, cfg.arch.max_epochs):
             self.current_epoch = epoch
             train_metrics = self.train_epoch(epoch)
-            val_metrics = self.validate()
+            val_metrics = self.validate_all()
             metrics = {**train_metrics, **val_metrics}
             if is_rank0():
                 self.checkpointer.check_and_save(
@@ -210,9 +235,10 @@ class Trainer:
         return metrics
 
     def test(self, save_artifacts: bool = False) -> Dict[str, float]:
-        assert self.test_dataset is not None, "No test dataset configured"
-        loader = make_loader(self.test_dataset,
-                             self.cfg.datasets.test.batch_size, "test",
-                             num_workers=self.cfg.datasets.test.num_workers)
-        return self.validate(loader, dataset_name="test",
-                             save_artifacts=save_artifacts)
+        assert self.test_datasets is not None, "No test dataset configured"
+        loaders = [
+            make_loader(ds, self.cfg.datasets.test.batch_size, "test",
+                        num_workers=self.cfg.datasets.test.num_workers)
+            for ds in self.test_datasets]
+        return self.validate_all(loaders, split="test",
+                                 save_artifacts=save_artifacts)

@@ -35,8 +35,8 @@ def main():
         cfg = prepare_config(ConfigNode(meta["config"]))
 
     trainer = Trainer(cfg, resume=args.checkpoint)
-    if trainer.test_dataset is not None:
-        metrics = trainer.test()
+    if trainer.test_datasets is not None:
+        metrics = trainer.test(save_artifacts=True)
     else:
         metrics = trainer.validate()
     print(json.dumps({k: float(v) for k, v in metrics.items()}, indent=2))

@@ -1,0 +1,198 @@
+"""Convert torch state dicts into dro_sfm_tpu flax parameter trees.
+
+Two uses:
+1. ImageNet-pretrained torchvision encoders (resnet18 for the feature/
+   context encoders — the reference loads these at init,
+   `/root/reference/dro_sfm/networks/optim/extractor.py:56-65`; vgg16 for
+   PercepNet).
+2. Reference dro-sfm checkpoints (`.ckpt` with a `state_dict`) — mapping the
+   torch module names onto our flax tree for side-by-side parity checks.
+
+Conventions: torch conv weights are OIHW, flax HWIO; torch linear [out,in],
+flax [in,out]; BatchNorm (weight, bias, running_mean, running_var) map to
+(scale, bias, mean, var). The reference's multi-image conv1 replication
+(`extractor.py:58`) is reproduced for num_input_images > 1.
+
+Usage:
+    python tools/convert_torch_weights.py resnet18 resnet18.pth out.msgpack
+    python tools/convert_torch_weights.py dro-ckpt indoor_scannet.ckpt out.msgpack
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def conv_w(t):
+    """OIHW -> HWIO."""
+    return np.transpose(np.asarray(t), (2, 3, 1, 0))
+
+
+def convert_resnet18_encoder(state_dict: dict, num_input_images: int = 1,
+                             out_prefix: str = "") -> dict:
+    """torchvision resnet18 (or the reference's ResNetEncoder trunk) ->
+    flax params for `dro_sfm_tpu.models.encoder.ResNetEncoder`.
+
+    Only the trunk (conv1 + layers1-3) is covered — the FPN head of the
+    reference encoder is trained from scratch there too.
+    """
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params: dict = {}
+    batch_stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    w1 = conv_w(sd["conv1.weight"])
+    if num_input_images > 1:
+        w1 = np.concatenate([w1] * num_input_images, axis=2) / num_input_images
+    put(params, ("conv1", "kernel"), w1)
+
+    def bn(src, dst):
+        put(params, (*dst, "scale"), sd[f"{src}.weight"])
+        put(params, (*dst, "bias"), sd[f"{src}.bias"])
+        put(batch_stats, (*dst, "mean"), sd[f"{src}.running_mean"])
+        put(batch_stats, (*dst, "var"), sd[f"{src}.running_var"])
+
+    bn("bn1", ("bn1",))
+    for li in (1, 2, 3):
+        for bi in (0, 1):
+            src = f"layer{li}.{bi}"
+            dst = f"layer{li}_block{bi}"
+            put(params, (dst, "conv1", "kernel"),
+                conv_w(sd[f"{src}.conv1.weight"]))
+            put(params, (dst, "conv2", "kernel"),
+                conv_w(sd[f"{src}.conv2.weight"]))
+            bn(f"{src}.bn1", (dst, "bn1"))
+            bn(f"{src}.bn2", (dst, "bn2"))
+            if f"{src}.downsample.0.weight" in sd:
+                put(params, (dst, "downsample_conv", "kernel"),
+                    conv_w(sd[f"{src}.downsample.0.weight"]))
+                bn(f"{src}.downsample.1", (dst, "downsample_bn"))
+    return {"params": params, "batch_stats": batch_stats}
+
+
+# Torch module name -> our flax path for the DRO DepthPoseNet. The FPN head
+# and heads share names; GRU cells live under the scan modules.
+_DRO_ENCODER_HEADS = {
+    "upconv1.0": ("upconv1",),
+    "upconv1_fusion.0": ("upconv1_fusion",),
+    "out_conv": ("out_conv",),
+}
+
+
+def convert_dro_checkpoint(state_dict: dict) -> dict:
+    """Map a reference dro-sfm checkpoint onto our DepthPoseNet tree.
+
+    Handles the reference's `model.depth_net.` prefix
+    (`/root/reference/dro_sfm/utils/load.py:116-169` equivalents) and the
+    module renames of the TPU rebuild:
+      fnet/cnet_depth/cnet_pose trunks + FPN heads,
+      depth_head/pose_head/upmask_net,
+      update_block_depth -> refinement/update_block_depth/cell/...,
+      update_block_pose  -> refinement/update_block_pose/cell/...
+    """
+    sd = {}
+    for k, v in state_dict.items():
+        k = k.replace("model.depth_net.", "").replace("depth_net.", "")
+        sd[k] = np.asarray(v)
+
+    out_params: dict = {}
+    out_stats: dict = {}
+
+    def put(tree, path, value):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    def convert_conv(src, dst, bias=True):
+        put(out_params, (*dst, "kernel"), conv_w(sd[f"{src}.weight"]))
+        if bias and f"{src}.bias" in sd:
+            put(out_params, (*dst, "bias"), sd[f"{src}.bias"])
+
+    # Encoders
+    for enc, n_img in (("fnet", 1), ("cnet_depth", 1), ("cnet_pose", 2)):
+        sub = {k[len(enc) + 1:]: v for k, v in sd.items()
+               if k.startswith(enc + ".")}
+        tree = convert_resnet18_encoder(sub, num_input_images=n_img)
+        out_params[enc] = tree["params"]
+        out_stats[enc] = tree["batch_stats"]
+        for src, dst in _DRO_ENCODER_HEADS.items():
+            if f"{enc}.{src}.weight" in sd:
+                convert_conv(f"{enc}.{src}", (enc, *dst))
+
+    # Heads
+    convert_conv("depth_head.conv1", ("depth_head", "conv1"))
+    convert_conv("depth_head.conv2", ("depth_head", "conv2"))
+    convert_conv("pose_head.conv1_pose", ("pose_head", "conv1"))
+    convert_conv("pose_head.conv2_pose", ("pose_head", "conv2"))
+    convert_conv("upmask_net.mask.0", ("upmask_net", "conv1"))
+    convert_conv("upmask_net.mask.2", ("upmask_net", "conv2"))
+
+    # Update blocks (shared weights; ours live inside nn.scan modules)
+    def update_block(torch_prefix, ours_prefix, kind):
+        base = ("refinement", ours_prefix, "cell")
+        enc_map = {
+            "encoder.convc1": "convc1", "encoder.convc2": "convc2",
+        }
+        if kind == "depth":
+            enc_map.update({"encoder.convd1": "convd1",
+                            "encoder.convd2": "convd2",
+                            "encoder.convd": "convd"})
+            gru = "depth_gru"
+            convert_conv(f"{torch_prefix}.depth_head.conv1",
+                         (*base, "head", "conv1"))
+            convert_conv(f"{torch_prefix}.depth_head.conv2",
+                         (*base, "head", "conv2"))
+            convert_conv(f"{torch_prefix}.mask.0", (*base, "mask1"))
+            convert_conv(f"{torch_prefix}.mask.2", (*base, "mask2"))
+        else:
+            enc_map.update({"encoder.convp1": "convp1",
+                            "encoder.convp2": "convp2",
+                            "encoder.convp": "convp"})
+            gru = "pose_gru"
+            convert_conv(f"{torch_prefix}.pose_head.conv1_pose",
+                         (*base, "head", "conv1"))
+            convert_conv(f"{torch_prefix}.pose_head.conv2_pose",
+                         (*base, "head", "conv2"))
+        for src, dst in enc_map.items():
+            convert_conv(f"{torch_prefix}.{src}", (*base, "encoder", dst))
+        for g in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
+            convert_conv(f"{torch_prefix}.{gru}.{g}", (*base, "gru", g))
+
+    update_block("update_block_depth", "update_block_depth", "depth")
+    update_block("update_block_pose", "update_block_pose", "pose")
+
+    return {"params": out_params, "batch_stats": out_stats}
+
+
+def main():
+    import torch
+    from flax import serialization
+
+    kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
+    raw = torch.load(src, map_location="cpu")
+    state_dict = raw.get("state_dict", raw)
+    state_dict = {k: v.numpy() if hasattr(v, "numpy") else v
+                  for k, v in state_dict.items()}
+    if kind == "resnet18":
+        tree = convert_resnet18_encoder(state_dict)
+    elif kind == "dro-ckpt":
+        tree = convert_dro_checkpoint(state_dict)
+    else:
+        raise SystemExit(f"unknown kind {kind}")
+    with open(dst, "wb") as f:
+        f.write(serialization.msgpack_serialize(tree))
+    print(f"wrote {dst}")
+
+
+if __name__ == "__main__":
+    main()
