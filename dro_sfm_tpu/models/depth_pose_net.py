@@ -113,6 +113,9 @@ def warp_cost(fmap1, fmaps_ref, depth, pose_vecs, K_scaled,
         jnp.broadcast_to(world_points[:, None],
                          (*pose_vecs.shape[:2], *world_points.shape[1:])),
         frame="w", normalize=False)                    # [B,N,h,w,2]
+    if impl == "pallas":
+        from dro_sfm_tpu.ops.pallas.tent_warp import pallas_warp_cost
+        return pallas_warp_cost(fmap1, fmaps_ref, coords)
     if impl == "matmul":
         warped = bilinear_sample_matmul(fmaps_ref, coords,
                                         compute_dtype=jnp.bfloat16)
@@ -252,7 +255,7 @@ class DepthPoseNet(nn.Module):
     context_dim: int = 32    # cdim (`DepthPoseNet.py:53`)
     dtype: Any = jnp.float32  # conv compute dtype (bfloat16 for MXU speed);
                               # geometry, GRU states and heads stay fp32
-    warp_impl: str = "gather"  # "gather" | "matmul" (see warp_cost)
+    warp_impl: str = "gather"  # "gather" | "matmul" | "pallas" (see warp_cost)
 
     @property
     def spec(self) -> VersionSpec:
