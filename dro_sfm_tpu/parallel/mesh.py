@@ -50,6 +50,26 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     return out
 
 
+def maybe_init_distributed() -> None:
+    """Initialize multi-host JAX when launched under a distributed runtime.
+
+    The multi-host replacement for the reference's `mpirun` + `hvd_init`
+    (`run.sh:3-4`, `utils/horovod.py:14`): one process per host, coordinated
+    through `jax.distributed.initialize`. Controlled by standard env vars
+    (JAX_COORDINATOR_ADDRESS / cloud-TPU auto-detection); a no-op when they
+    are absent or initialization already happened.
+    """
+    import os
+    if jax.process_count() > 1:
+        return
+    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+            "COORDINATOR_ADDRESS"):
+        try:
+            jax.distributed.initialize()
+        except Exception as e:  # already initialized or single-host
+            print(f"jax.distributed.initialize skipped: {e}")
+
+
 def process_count() -> int:
     return jax.process_count()
 

@@ -84,11 +84,20 @@ def make_optimizer(optimizer_cfg, scheduler_cfg, steps_per_epoch: int,
     wd = optimizer_cfg.depth.weight_decay
     if optimizer_cfg.name == "Adam":
         if wd > 0:
-            return optax.adamw(schedule, weight_decay=wd)
-        return optax.adam(schedule)
-    if optimizer_cfg.name == "SGD":
-        return optax.sgd(schedule, momentum=optimizer_cfg.momentum)
-    raise ValueError(f"Unknown optimizer {optimizer_cfg.name}")
+            tx = optax.adamw(schedule, weight_decay=wd)
+        else:
+            tx = optax.adam(schedule)
+    elif optimizer_cfg.name == "SGD":
+        tx = optax.sgd(schedule, momentum=optimizer_cfg.momentum)
+    else:
+        raise ValueError(f"Unknown optimizer {optimizer_cfg.name}")
+    clip = getattr(optimizer_cfg, "clip_grad_norm", 0.0) or 0.0
+    if clip > 0:
+        # Guards the recurrent refinement against saturation collapse
+        # (observed: hot lr drives the tanh/sigmoid heads into saturation
+        # and training freezes). Off by default (reference parity).
+        tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    return tx
 
 
 def create_train_state(net, rng: jax.Array, sample_batch: Dict[str, Any],

@@ -22,7 +22,12 @@ import numpy as np
 from dro_sfm_tpu.data import make_loader, setup_dataset
 from dro_sfm_tpu.models.sfm import SfmModelConfig
 from dro_sfm_tpu.losses.photometric import PhotometricLossConfig
-from dro_sfm_tpu.parallel.mesh import is_rank0, make_mesh, shard_batch
+from dro_sfm_tpu.parallel.mesh import (
+    is_rank0,
+    make_mesh,
+    maybe_init_distributed,
+    shard_batch,
+)
 from dro_sfm_tpu.training.checkpoint import CheckpointManager, load_checkpoint
 from dro_sfm_tpu.training.metrics import (
     ALL_METRIC_NAMES,
@@ -59,6 +64,7 @@ def model_config_from(cfg) -> SfmModelConfig:
 
 class Trainer:
     def __init__(self, cfg, resume: Optional[str] = None):
+        maybe_init_distributed()
         self.cfg = cfg
         self.model_cfg = model_config_from(cfg)
         self.net = self.model_cfg.build_net()

@@ -151,6 +151,7 @@ DEFAULTS: Dict[str, Any] = {
             "depth": {"lr": 0.0002, "weight_decay": 0.0},
             "pose": {"lr": 0.0002, "weight_decay": 0.0},
             "momentum": 0.9,
+            "clip_grad_norm": 0.0,
         },
         "scheduler": {
             "name": "StepLR", "step_size": 10, "gamma": 0.5,

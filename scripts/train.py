@@ -20,6 +20,9 @@ def parse_args():
     parser.add_argument("file", help="Input file (.yaml config or .ckpt)")
     parser.add_argument("--seed", type=int, default=None,
                         help="Override random seed")
+    parser.add_argument("--profile", default=None, metavar="LOGDIR",
+                        help="Capture a jax.profiler device trace of the "
+                             "first training steps into LOGDIR")
     return parser.parse_args()
 
 
@@ -43,7 +46,12 @@ def main():
         cfg.arch.seed = args.seed
 
     trainer = Trainer(cfg, resume=resume)
-    metrics = trainer.fit()
+    if args.profile:
+        from dro_sfm_tpu.utils.profiler import trace
+        with trace(args.profile):
+            metrics = trainer.fit()
+    else:
+        metrics = trainer.fit()
     print(json.dumps({k: float(v) for k, v in metrics.items()}, indent=2))
 
 
