@@ -71,7 +71,8 @@ class CheckpointManager:
     """
 
     def __init__(self, dirpath: str, monitor: str = "abs_rel_pp_gt",
-                 save_top_k: int = 5, mode: str = "auto"):
+                 save_top_k: int = 5, mode: str = "auto",
+                 save_code: bool = True):
         self.dirpath = dirpath
         self.monitor = monitor
         self.save_top_k = save_top_k
@@ -80,6 +81,24 @@ class CheckpointManager:
         self.mode = mode
         self.saved: list[tuple[float, str]] = []
         os.makedirs(dirpath, exist_ok=True)
+        if save_code:
+            self._snapshot_code()
+
+    def _snapshot_code(self) -> None:
+        """Archive the current source tree next to the checkpoints
+        (`model_checkpoint.py:19-21` save_code — git archive instead of a
+        manual tarball so the snapshot matches the recorded sha)."""
+        import subprocess
+        repo = os.path.dirname(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        target = os.path.join(self.dirpath, "code.tar.gz")
+        try:
+            with open(target, "wb") as f:
+                subprocess.run(["git", "archive", "--format=tar.gz", "HEAD"],
+                               cwd=repo, stdout=f, timeout=60, check=True)
+        except Exception:
+            if os.path.exists(target):
+                os.remove(target)
 
     def _improved(self, value: float) -> bool:
         if len(self.saved) < self.save_top_k:
