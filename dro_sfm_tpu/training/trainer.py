@@ -113,7 +113,10 @@ class Trainer:
                 params=p["params"], batch_stats=p["batch_stats"],
                 opt_state=p["opt_state"],
                 step=jnp.asarray(p["step"], jnp.int32))
-            self.current_epoch = int(restored["meta"].get("epoch", 0))
+            # Checkpoints are written at the END of an epoch: resume with
+            # the next one (the reference re-ran the saved epoch,
+            # `model_wrapper.py:102-103`).
+            self.current_epoch = int(restored["meta"].get("epoch", -1)) + 1
 
         # Jitted steps
         self.train_step = make_train_step(self.model_cfg, self.net)

@@ -108,3 +108,55 @@ def test_eval_step_modes():
     assert np.isfinite(np.asarray(out["metrics"])).all()
     assert out["pose"].shape == (2, 2, 4, 4)
     assert out["inv_depth_pp"].shape == batch["rgb"].shape[:3] + (1,)
+
+
+@pytest.mark.slow
+def test_resume_exactness(tmp_path):
+    """Checkpoint -> restore reproduces params, optimizer state and step
+    exactly, and the Trainer resumes at the next epoch."""
+    import optax
+
+    from dro_sfm_tpu.training.checkpoint import load_checkpoint, save_checkpoint
+
+    model_cfg = SfmModelConfig(name="SupModelMF", version="it4-h-out",
+                               min_depth=0.2, max_depth=20.0,
+                               flip_lr_prob=0.0)
+    net = model_cfg.build_net()
+    batch = synthetic_batch()
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(1e-3))
+    state = create_train_state(
+        net, jax.random.PRNGKey(0),
+        {k: batch[k] for k in ("rgb", "rgb_context", "intrinsics")}, tx)
+    step = make_train_step(model_cfg, net)
+    rng = jax.random.PRNGKey(1)
+    for _ in range(3):
+        state, _ = step(state, batch, rng)
+
+    path = str(tmp_path / "resume.ckpt")
+    save_checkpoint(path, state, epoch=4, config={"x": 1})
+
+    fresh = create_train_state(
+        net, jax.random.PRNGKey(123),
+        {k: batch[k] for k in ("rgb", "rgb_context", "intrinsics")}, tx)
+    restored = load_checkpoint(path, fresh)
+    p = restored["payload"]
+    a = jax.tree_util.tree_leaves(state.params)
+    b = jax.tree_util.tree_leaves(p["params"])
+    for x, y in zip(a, b):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    # optimizer moments restored exactly
+    oa = jax.tree_util.tree_leaves(state.opt_state)
+    ob = jax.tree_util.tree_leaves(p["opt_state"])
+    assert len(oa) == len(ob)
+    for x, y in zip(oa, ob):
+        np.testing.assert_array_equal(np.asarray(x), np.asarray(y))
+    assert p["step"] == 3
+    assert restored["meta"]["epoch"] == 4
+
+    # One step from the original and one from the restored match exactly.
+    fresh2 = fresh.replace(params=p["params"], batch_stats=p["batch_stats"],
+                           opt_state=p["opt_state"],
+                           step=jnp.asarray(p["step"], jnp.int32))
+    s1, m1 = step(state, batch, rng)
+    s2, m2 = step(fresh2, batch, rng)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
