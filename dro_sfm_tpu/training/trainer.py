@@ -210,6 +210,16 @@ class Trainer:
                 pose_sum += compute_pose_metrics(
                     batch["pose_context"], np.asarray(out["pose"]))
             count += int(valid.sum())
+        # Cross-host reduction with the 'all samples seen' check
+        # (`utils/reduce.py:32-83` equivalent).
+        if jax.process_count() > 1:
+            from dro_sfm_tpu.parallel.collectives import all_reduce_metric_sums
+            stacked = np.concatenate(
+                [sums[m] for m in METRIC_MODES] + [pose_sum])
+            stacked, count = all_reduce_metric_sums(stacked, count)
+            for i, m in enumerate(METRIC_MODES):
+                sums[m] = stacked[i * 9:(i + 1) * 9]
+            pose_sum = stacked[len(METRIC_MODES) * 9:]
         results: Dict[str, float] = {}
         table = {}
         for mode in METRIC_MODES:
