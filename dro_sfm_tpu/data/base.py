@@ -23,6 +23,7 @@ requirement); variable-context reference datasets pad or filter instead.
 """
 from __future__ import annotations
 
+import zlib
 from typing import Dict, Protocol
 
 import numpy as np
@@ -34,6 +35,32 @@ class Dataset(Protocol):
     def __len__(self) -> int: ...
 
     def __getitem__(self, idx: int) -> Sample: ...
+
+
+def sample_rng(dataset, *key) -> np.random.Generator:
+    """Per-sample augmentation RNG: stable across processes, fresh per epoch.
+
+    Python's salted ``hash()`` differs between interpreter runs, and a
+    purely path-keyed seed repeats the same jitter every epoch — so the seed
+    here is crc32 (process-stable) of the key parts mixed with the dataset's
+    current epoch (set by `DataLoader.set_epoch`).
+    """
+    epoch = getattr(dataset, "epoch", 0)
+    digest = zlib.crc32(repr(key).encode())
+    return np.random.default_rng((digest * 2654435761 + epoch) % (2 ** 63))
+
+
+def set_dataset_epoch(dataset, epoch: int) -> None:
+    """Recursively stamp ``epoch`` through wrapper datasets."""
+    if hasattr(dataset, "datasets"):       # ConcatDataset
+        for d in dataset.datasets:
+            set_dataset_epoch(d, epoch)
+    elif hasattr(dataset, "dataset"):      # RepeatedDataset etc.
+        set_dataset_epoch(dataset.dataset, epoch)
+    try:
+        dataset.epoch = epoch
+    except AttributeError:
+        pass
 
 
 def relative_pose(pose_target: np.ndarray, pose_ctx: np.ndarray) -> np.ndarray:

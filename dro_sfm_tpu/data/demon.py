@@ -12,7 +12,7 @@ from typing import Optional
 
 import numpy as np
 
-from dro_sfm_tpu.data.base import Sample
+from dro_sfm_tpu.data.base import Sample, sample_rng
 from dro_sfm_tpu.data.kitti import load_image_rgb
 from dro_sfm_tpu.data.transforms import eval_transform, train_transform
 
@@ -64,7 +64,7 @@ class DemonDataset:
             sample["depth"] = depth[..., None] if depth.ndim == 2 else depth
 
         if self.mode == "train":
-            rng = np.random.default_rng((hash(folder)) % (2 ** 31))
+            rng = sample_rng(self, folder)
             return train_transform(sample, self.image_shape or (),
                                    self.jittering, rng)
         return eval_transform(sample, self.image_shape or ())

@@ -16,7 +16,7 @@ from typing import Optional, Sequence
 import cv2
 import numpy as np
 
-from dro_sfm_tpu.data.base import Sample
+from dro_sfm_tpu.data.base import Sample, sample_rng
 from dro_sfm_tpu.data.transforms import eval_transform, train_transform
 
 IMAGE_FOLDER = {"left": "image_02", "right": "image_03"}
@@ -304,7 +304,7 @@ class KITTIDataset:
                     invert_pose_numpy(self._pose(f)) @ first_pose
                     for f in ctx_files]).astype(np.float32)
         if self.mode == "train":
-            rng = np.random.default_rng((hash(path) + idx) % (2 ** 31))
+            rng = sample_rng(self, path, idx)
             return train_transform(sample, self.image_shape or (),
                                    self.jittering, rng)
         return eval_transform(sample, self.image_shape or ())

@@ -22,7 +22,7 @@ from typing import Dict, Iterator, Optional
 
 import numpy as np
 
-from dro_sfm_tpu.data.base import Dataset
+from dro_sfm_tpu.data.base import Dataset, set_dataset_epoch
 
 _ARRAY_KEYS = ("rgb", "rgb_original", "rgb_context", "rgb_context_original",
                "intrinsics", "depth", "pose_context")
@@ -97,10 +97,24 @@ class DataLoader:
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
-        """Reshuffle per epoch (`horovod_trainer.py:97-98` set_epoch)."""
+        """Reshuffle per epoch (`horovod_trainer.py:97-98` set_epoch) and
+        refresh per-sample augmentation RNG streams."""
         self.epoch = epoch
+        set_dataset_epoch(self.dataset, epoch)
 
     def _epoch_indices(self) -> np.ndarray:
+        return self._epoch_indices_and_validity()[0]
+
+    def _epoch_indices_and_validity(self):
+        """This host's sample indices plus a mask of genuine (non-padding)
+        entries.
+
+        Shards are padded to equal size by duplicating leading samples, but
+        duplicates are marked invalid so distributed eval counts every
+        dataset sample exactly once (the reference dedupes gathered
+        per-sample metrics by idx, `utils/reduce.py:63-71`; here validity
+        masking does the same without the gather).
+        """
         n = len(self.dataset)
         order = np.arange(n)
         if self.shuffle:
@@ -109,14 +123,16 @@ class DataLoader:
         # Pad so every shard sees the same number of samples, then shard.
         per_shard = -(-n // self.num_shards)
         padded = np.concatenate([order, order[:per_shard * self.num_shards - n]])
-        return padded[self.shard_id::self.num_shards]
+        genuine = np.arange(len(padded)) < n
+        sl = slice(self.shard_id, None, self.num_shards)
+        return padded[sl], genuine[sl]
 
     def __len__(self) -> int:
         n = len(self._epoch_indices())
         return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
-        indices = self._epoch_indices()
+        indices, genuine = self._epoch_indices_and_validity()
         n_batches = len(self)
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
@@ -126,8 +142,10 @@ class DataLoader:
                 for b in range(n_batches):
                     if stop.is_set():
                         return
-                    chunk = indices[b * self.batch_size:(b + 1) * self.batch_size]
+                    sl = slice(b * self.batch_size, (b + 1) * self.batch_size)
+                    chunk = indices[sl]
                     valid = np.ones(self.batch_size, dtype=bool)
+                    valid[:len(chunk)] = genuine[sl]
                     if len(chunk) < self.batch_size:
                         valid[len(chunk):] = False
                         chunk = np.concatenate(

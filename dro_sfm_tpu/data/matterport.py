@@ -14,7 +14,7 @@ from typing import Optional, Sequence
 import cv2
 import numpy as np
 
-from dro_sfm_tpu.data.base import Sample
+from dro_sfm_tpu.data.base import Sample, sample_rng
 from dro_sfm_tpu.data.kitti import invert_pose_numpy, load_image_rgb
 from dro_sfm_tpu.data.scannet import read_png_depth_mm
 from dro_sfm_tpu.data.transforms import eval_transform, train_transform
@@ -156,7 +156,7 @@ class MatterportDataset:
             sample["depth"] = depth
 
         if self.mode == "train":
-            rng = np.random.default_rng((hash((scene, filename))) % (2 ** 31))
+            rng = sample_rng(self, scene, filename)
             return train_transform(sample, self.image_shape or (),
                                    self.jittering, rng)
         return eval_transform(sample, self.image_shape or ())

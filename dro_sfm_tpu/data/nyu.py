@@ -14,7 +14,7 @@ from typing import Optional
 
 import numpy as np
 
-from dro_sfm_tpu.data.base import Sample
+from dro_sfm_tpu.data.base import Sample, sample_rng
 from dro_sfm_tpu.data.transforms import eval_transform, train_transform
 
 NYU_K = np.array([[518.85790117450188, 0.0, 325.58244941119034],
@@ -90,7 +90,7 @@ class NYUDataset:
             sample["depth"] = depth
 
         if self.mode == "train":
-            rng = np.random.default_rng((hash((session, i))) % (2 ** 31))
+            rng = sample_rng(self, session, i)
             return train_transform(sample, self.image_shape or (),
                                    self.jittering, rng)
         return eval_transform(sample, self.image_shape or ())

@@ -20,7 +20,7 @@ from typing import Optional, Sequence
 
 import numpy as np
 
-from dro_sfm_tpu.data.base import Sample, relative_pose
+from dro_sfm_tpu.data.base import Sample, relative_pose, sample_rng
 from dro_sfm_tpu.data.transforms import eval_transform, train_transform
 
 
@@ -144,7 +144,7 @@ class SyntheticDataset:
             sample["pose_context"] = np.stack(ctx_pose)
 
         if self.mode == "train":
-            rng = np.random.default_rng(hash(("jitter", idx)) % (2 ** 31))
+            rng = sample_rng(self, "jitter", idx)
             sample = train_transform(sample, self.image_shape or (),
                                      self.jittering, rng)
         else:

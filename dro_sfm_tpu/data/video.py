@@ -14,7 +14,7 @@ from typing import Sequence
 
 import numpy as np
 
-from dro_sfm_tpu.data.base import Sample
+from dro_sfm_tpu.data.base import Sample, sample_rng
 from dro_sfm_tpu.data.kitti import load_image_rgb
 from dro_sfm_tpu.data.transforms import eval_transform, train_transform
 
@@ -95,7 +95,7 @@ class VideoDataset:
             "intrinsics": dummy_calibration(w, h),
         }
         if self.mode == "train":
-            rng = np.random.default_rng((hash((folder, target))) % (2 ** 31))
+            rng = sample_rng(self, folder, target)
             return train_transform(sample, self.image_shape or (),
                                    self.jittering, rng)
         return eval_transform(sample, self.image_shape or ())
@@ -136,7 +136,7 @@ class VideoRandomDataset(VideoDataset):
             "intrinsics": dummy_calibration(w, h),
         }
         if self.mode == "train":
-            jr = np.random.default_rng((hash((folder, target))) % (2 ** 31))
+            jr = sample_rng(self, folder, target)
             return train_transform(sample, self.image_shape or (),
                                    self.jittering, jr)
         return eval_transform(sample, self.image_shape or ())

@@ -36,6 +36,10 @@ class PhotometricLossConfig:
     clip_loss: float = 0.0
     automask_loss: bool = True
     gamma: float = 0.85  # iteration decay (`multiview_photometric_loss_mf.py:259`)
+    # Divide by the summed γ weights. The MF reference sums raw decayed
+    # terms (`:259-265`); the single-frame path averages uniformly over
+    # scales (packnet-sfm lineage) = gamma 1.0 + normalization.
+    normalize_weights: bool = False
 
 
 def warp_context(image_ctx: jnp.ndarray, inv_depths: jnp.ndarray,
@@ -141,6 +145,8 @@ def multiview_photometric_loss(
 
     gamma_w = cfg.gamma ** jnp.arange(p - 1, -1, -1, dtype=inv_depths.dtype)
     photometric = (per_pred * gamma_w).sum()
+    if cfg.normalize_weights:
+        photometric = photometric / gamma_w.sum()
 
     metrics = {"photometric_loss": photometric}
     loss = photometric

@@ -44,6 +44,7 @@ from dro_sfm_tpu.models.update import (
     DepthUpdateCell,
     PoseHead,
     PoseUpdateCell,
+    UpdateMaskHead,
     UpMaskNet,
 )
 from dro_sfm_tpu.ops.depth_ops import depth2inv, disp_to_depth, inv2depth  # noqa: F401 (re-export)
@@ -119,9 +120,11 @@ def warp_cost(fmap1, fmaps_ref, depth, pose_vecs, K_scaled,
     if impl == "matmul":
         warped = bilinear_sample_matmul(fmaps_ref, coords,
                                         compute_dtype=jnp.bfloat16)
-        warped = warped.astype(fmap1.dtype)
     else:
         warped = bilinear_sample(fmaps_ref, coords)    # [B,N,h,w,C]
+    # cost stays in the feature dtype (bf16 features -> bf16 cost traffic;
+    # the fp32 sampling weights would otherwise promote it).
+    warped = warped.astype(fmap1.dtype)
     diff = fmap1[:, None] - warped
     return diff * diff
 
@@ -147,12 +150,12 @@ class _DepthStep(nn.Module):
         cost = warp_cost(consts["fmap1"], consts["fmaps_ref"],
                          inv2depth(scaled), consts["poses"],
                          consts["K"], impl=self.warp_impl).mean(axis=1)
-        hidden, delta, mask = DepthUpdateCell(
+        hidden, delta = DepthUpdateCell(
             hidden_dim=self.hidden_dim, context_dim=self.context_dim,
             ratio=self.ratio, dtype=self.dtype, name="cell")(
                 hidden, inv_depth, cost, consts["inp"])
         inv_depth = inv_depth + delta
-        return (hidden, inv_depth, consts), (inv_depth, mask)
+        return (hidden, inv_depth, consts), (inv_depth, hidden)
 
 
 class _PoseStep(nn.Module):
@@ -191,6 +194,7 @@ class _OuterIteration(nn.Module):
     max_depth: float
     dtype: Any = jnp.float32
     warp_impl: str = "gather"
+    remat: bool = True
 
     @nn.compact
     def __call__(self, carry, _):
@@ -208,14 +212,17 @@ class _OuterIteration(nn.Module):
                         "fmaps_ref": consts["fmaps_ref"],
                         "poses": poses, "K": consts["K"],
                         "inp": consts["inp_d"]}
-        # remat: recompute each refinement step in the backward pass instead
-        # of storing every inner activation — the nested scans otherwise keep
-        # O(outer x seq x hidden activations) alive (OOM at batch 16,
-        # HBM-bandwidth-bound below that).
+        # remat (optional): recompute each refinement step in the backward
+        # pass instead of storing every inner activation — the nested scans
+        # otherwise keep O(outer x seq x hidden activations) alive (OOM at
+        # batch >= 16). At small batch the activations fit, and skipping the
+        # recompute is faster.
+        depth_step = nn.remat(_DepthStep) if self.remat else _DepthStep
+        pose_step = nn.remat(_PoseStep) if self.remat else _PoseStep
         DepthScan = nn.scan(
-            nn.remat(_DepthStep), variable_broadcast="params",
+            depth_step, variable_broadcast="params",
             split_rngs={"params": False}, length=spec.seq_len)
-        (hidden_d, inv_depth, _), (d_seq, m_seq) = DepthScan(
+        (hidden_d, inv_depth, _), (d_seq, h_seq) = DepthScan(
             hidden_dim=spec.hidden_dim, context_dim=self.context_dim,
             ratio=self.ratio, min_depth=self.min_depth,
             max_depth=self.max_depth, out_normalize=spec.out_normalize,
@@ -228,7 +235,7 @@ class _OuterIteration(nn.Module):
                        "depth": depth_frozen, "K": consts["K"],
                        "inp": consts["inp_p"]}
         PoseScan = nn.scan(
-            nn.remat(_PoseStep), variable_broadcast="params",
+            pose_step, variable_broadcast="params",
             split_rngs={"params": False}, length=spec.seq_len)
         (hidden_p, poses, _), p_seq = PoseScan(
             hidden_dim=spec.hidden_dim, context_dim=self.context_dim,
@@ -238,9 +245,18 @@ class _OuterIteration(nn.Module):
 
         # Keep every inner step with -inter, else the last only (`:176-196`).
         if spec.inter_sup:
-            keep_d, keep_m, keep_p = d_seq, m_seq, p_seq
+            keep_d, keep_h, keep_p = d_seq, h_seq, p_seq
         else:
-            keep_d, keep_m, keep_p = (d_seq[-1:], m_seq[-1:], p_seq[-1:])
+            keep_d, keep_h, keep_p = (d_seq[-1:], h_seq[-1:], p_seq[-1:])
+        # Upsampling masks only for the kept predictions, batched over the
+        # keep axis — inside the scan the mask convs would run (fwd + bwd)
+        # on every inner step regardless of whether the step's prediction
+        # is supervised.
+        k = keep_h.shape[0]
+        keep_m = UpdateMaskHead(
+            hidden_dim=spec.hidden_dim, ratio=self.ratio, dtype=self.dtype,
+            name="mask_head")(keep_h.reshape(-1, *keep_h.shape[2:]))
+        keep_m = keep_m.reshape(k, -1, *keep_m.shape[1:])
         carry = (hidden_d, hidden_p, inv_depth, poses, consts)
         return carry, (keep_d, keep_m, keep_p)
 
@@ -256,6 +272,7 @@ class DepthPoseNet(nn.Module):
     dtype: Any = jnp.float32  # conv compute dtype (bfloat16 for MXU speed);
                               # geometry, GRU states and heads stay fp32
     warp_impl: str = "gather"  # "gather" | "matmul" | "pallas" (see warp_cost)
+    remat: bool = True         # recompute refinement steps in the backward
 
     @property
     def spec(self) -> VersionSpec:
@@ -322,15 +339,18 @@ class DepthPoseNet(nn.Module):
         mask_preds = [up_mask_init[None]]
         pose_preds = [pose_init[None]]              # [1,B,N,6]
 
-        # 4) Context features for the GRUs (`:132-147`).
+        # 4) Context features for the GRUs (`:132-147`). Hidden states and
+        # context inputs live in the compute dtype: in bf16 mode the scan
+        # carries/consts are bf16 (HBM-bandwidth savings on the dominant
+        # refinement traffic); geometry states (inv_depth, poses) stay fp32.
         if spec.outer_iters > 0:
-            cd = cnet_depth(target, train=train).astype(jnp.float32)
+            cd = cnet_depth(target, train=train).astype(self.dtype)
             hidden_d = jnp.tanh(cd[..., :hdim])
             inp_d = nn.relu(cd[..., hdim:])
 
             pairs = jnp.concatenate(
                 [jnp.broadcast_to(target[:, None], refs.shape), refs], axis=-1)
-            cp = cnet_pose(fold(pairs), train=train).astype(jnp.float32)
+            cp = cnet_pose(fold(pairs), train=train).astype(self.dtype)
             hidden_p = jnp.tanh(cp[..., :hdim])      # [B*N,h,w,hdim]
             inp_p = nn.relu(cp[..., hdim:])
 
@@ -346,7 +366,7 @@ class DepthPoseNet(nn.Module):
                 spec=spec, context_dim=cdim, ratio=self.feat_ratio,
                 min_depth=self.min_depth, max_depth=self.max_depth,
                 dtype=self.dtype, warp_impl=self.warp_impl,
-                name="refinement")(carry, None)
+                remat=self.remat, name="refinement")(carry, None)
             # [O,keep,...] -> [O*keep,...]
             coarse_preds.append(d_out.reshape(-1, *d_out.shape[2:]))
             mask_preds.append(m_out.reshape(-1, *m_out.shape[2:]))

@@ -31,7 +31,13 @@ from dro_sfm_tpu.losses.supervised import (
 from dro_sfm_tpu.models.depth_pose_net import DepthPoseNet
 from dro_sfm_tpu.ops.image import flip_intrinsics, flip_lr
 
-MODEL_NAMES = ("SfmModelMF", "SelfSupModelMF", "SupModelMF", "SemiSupModelMFPose")
+MF_MODEL_NAMES = ("SfmModelMF", "SelfSupModelMF", "SupModelMF",
+                  "SemiSupModelMFPose")
+# Single-frame task family (monodepth2-lineage depth/pose nets,
+# `/root/reference/dro_sfm/models/SfmModel.py:12-156`): same loss
+# compositions applied to the separate depth_net + pose_net pair.
+SF_MODEL_NAMES = ("SfmModel", "SelfSupModel", "SupModel", "SemiSupModelPose")
+MODEL_NAMES = MF_MODEL_NAMES + SF_MODEL_NAMES
 
 
 @dataclasses.dataclass(frozen=True)
@@ -46,6 +52,7 @@ class SfmModelConfig:
     photometric: PhotometricLossConfig = PhotometricLossConfig()
     mixed_precision: bool = False         # bfloat16 convs (fp32 geometry)
     warp_impl: str = "gather"             # warp sampler: gather | matmul
+    remat: bool = True                    # recompute refinement steps in bwd
 
     def __post_init__(self):
         if self.name not in MODEL_NAMES:
@@ -53,23 +60,42 @@ class SfmModelConfig:
 
     @property
     def requires_gt_depth(self) -> bool:
-        return self.name in ("SupModelMF", "SemiSupModelMFPose")
+        return self.name in ("SupModelMF", "SemiSupModelMFPose",
+                             "SupModel", "SemiSupModelPose")
 
     @property
     def requires_gt_pose(self) -> bool:
-        return self.name in ("SupModelMF", "SemiSupModelMFPose")
+        return self.requires_gt_depth
 
-    def build_net(self) -> DepthPoseNet:
+    @property
+    def single_frame(self) -> bool:
+        return self.name in SF_MODEL_NAMES
+
+    def build_net(self):
+        if self.single_frame:
+            from dro_sfm_tpu.models.single_frame import SingleFrameNet
+            return SingleFrameNet(min_depth=self.min_depth,
+                                  max_depth=self.max_depth)
         return DepthPoseNet(
             version=self.version, min_depth=self.min_depth,
             max_depth=self.max_depth,
             dtype=jnp.bfloat16 if self.mixed_precision else jnp.float32,
-            warp_impl=self.warp_impl)
+            warp_impl=self.warp_impl, remat=self.remat)
 
     @property
     def supervised(self) -> SupervisedLossConfig:
+        # Single-frame scales are weighted uniformly (packnet-sfm lineage);
+        # the MF refinement iterations get the γ decay.
         return SupervisedLossConfig(min_depth=self.min_depth,
-                                    max_depth=self.max_depth)
+                                    max_depth=self.max_depth,
+                                    gamma=1.0 if self.single_frame else 0.85)
+
+    @property
+    def photometric_cfg(self) -> PhotometricLossConfig:
+        if self.single_frame:
+            return dataclasses.replace(self.photometric, gamma=1.0,
+                                       normalize_weights=True)
+        return self.photometric
 
 
 def forward(net: DepthPoseNet, variables: Dict, batch: Dict[str, jnp.ndarray],
@@ -121,27 +147,27 @@ def compute_loss(cfg: SfmModelConfig, output: Dict[str, jnp.ndarray],
     pose_vecs = output["pose_vecs"]
     K = batch["intrinsics"]
 
-    if cfg.name == "SfmModelMF":
+    if cfg.name in ("SfmModelMF", "SfmModel"):
         return jnp.zeros(()), {}
 
-    if cfg.name == "SelfSupModelMF":
+    if cfg.name in ("SelfSupModelMF", "SelfSupModel"):
         return multiview_photometric_loss(
             batch["rgb_original"], batch["rgb_context_original"],
-            inv_depths, K, pose_vecs, cfg.photometric)
+            inv_depths, K, pose_vecs, cfg.photometric_cfg)
 
-    if cfg.name == "SupModelMF":
+    if cfg.name in ("SupModelMF", "SupModel"):
         return supervised_depth_pose_loss(
             inv_depths, batch["depth"], pose_vecs, batch["pose_context"],
             K, cfg.supervised)
 
-    # SemiSupModelMFPose (`SemiSupModelMF.py:78-118`)
+    # SemiSupModelMFPose / SemiSupModelPose (`SemiSupModelMF.py:78-118`)
     w = cfg.supervised_loss_weight
     loss = jnp.zeros(())
     metrics: Dict[str, jnp.ndarray] = {}
     if w < 1.0:
         self_loss, self_metrics = multiview_photometric_loss(
             batch["rgb_original"], batch["rgb_context_original"],
-            inv_depths, K, pose_vecs, cfg.photometric)
+            inv_depths, K, pose_vecs, cfg.photometric_cfg)
         loss = (1.0 - w) * self_loss
         metrics.update(self_metrics)
     sup_loss, sup_metrics = supervised_depth_pose_loss(

@@ -89,6 +89,38 @@ class DepthResNet(nn.Module):
                 for d in disps]
 
 
+class SingleFrameNet(nn.Module):
+    """Separate depth + pose networks behind the DepthPoseNet interface.
+
+    The reference's single-frame task path keeps `depth_net` and `pose_net`
+    as distinct modules with their own optimizer parameter groups
+    (`SfmModel.py:12-50`, `model_wrapper.py:160-209`). Here both live under
+    one flax module (param tree roots ``depth_net`` / ``pose_net``, which
+    `make_optimizer` uses for the per-group learning rates) and the output
+    matches the stacked-prediction layout of the multi-frame net: the S
+    decoder scales are upsampled to full resolution (reference
+    ``upsample_depth_maps``, `SfmModel.py:107-116`) and stacked
+    coarsest-first so ``inv_depths[-1]`` is the finest map; the single pose
+    estimate is broadcast over the prediction axis.
+    """
+    min_depth: float = 0.1
+    max_depth: float = 100.0
+
+    @nn.compact
+    def __call__(self, target, refs, intrinsics=None, train: bool = False):
+        inv_depths = DepthResNet(min_depth=self.min_depth,
+                                 max_depth=self.max_depth,
+                                 name="depth_net")(target, train=train)
+        h, w = target.shape[1], target.shape[2]
+        # finest-first list -> [S,B,H,W,1] stacked coarsest-first
+        full = [resize_nearest(d, (h, w)) for d in inv_depths[::-1]]
+        stacked = jnp.stack(full)
+        pose = PoseResNet(name="pose_net")(target, refs, train=train)
+        pose_vecs = jnp.broadcast_to(
+            pose[:, :, None], (*pose.shape[:2], stacked.shape[0], 6))
+        return {"inv_depths": stacked, "pose_vecs": pose_vecs}
+
+
 class PoseResNet(nn.Module):
     """Single-frame pose net: shared encoder on image pairs + pose decoder
     (`pose_decoder.py:12-52`): returns [B, N, 6] with the whole vector

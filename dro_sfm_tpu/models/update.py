@@ -71,22 +71,29 @@ class UpMaskNet(nn.Module):
 class SepConvGRU(nn.Module):
     """Separable (1x5 then 5x1) convolutional GRU (`update.py:47-74`).
 
-    Gates compute in ``dtype``; the hidden state stays fp32 so small
-    recurrent updates are not rounded away."""
+    Gates, state and arithmetic all run in ``dtype``: in bfloat16 mode the
+    recurrent carry itself is bf16, halving the dominant HBM traffic of the
+    (bandwidth-bound) refinement scan. The integrated quantities the GRU
+    drives — inv-depth and pose deltas — are produced by fp32 head convs, so
+    geometry precision is unaffected; the hidden state only has to carry
+    feature information across 4 inner steps between truncated-BPTT
+    detaches."""
     hidden_dim: int = 128
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        h = h.astype(self.dtype)
+        x = x.astype(self.dtype)
         for suffix, kernel in (("1", (1, 5)), ("2", (5, 1))):
             hx = jnp.concatenate([h, x], axis=-1)
             z = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convz{suffix}",
-                                 dtype=self.dtype)(hx).astype(jnp.float32))
+                                 dtype=self.dtype)(hx))
             r = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convr{suffix}",
-                                 dtype=self.dtype)(hx).astype(jnp.float32))
+                                 dtype=self.dtype)(hx))
             q = jnp.tanh(_conv(self.hidden_dim, kernel, f"convq{suffix}",
                                dtype=self.dtype)(
-                jnp.concatenate([r * h, x], axis=-1)).astype(jnp.float32))
+                jnp.concatenate([r * h, x], axis=-1)))
             h = (1.0 - z) * h + z * q
         return h
 
@@ -125,7 +132,7 @@ class ProjectionInputDepth(nn.Module):
         d = nn.relu(_conv(64, (3, 3), "convd2", dtype=dt)(d))
         y = nn.relu(_conv(self.out_chs - 1, (3, 3), "convd", dtype=dt)(
             jnp.concatenate([c, d], axis=-1)))
-        return jnp.concatenate([y.astype(jnp.float32), inv_depth], axis=-1)
+        return jnp.concatenate([y, inv_depth.astype(y.dtype)], axis=-1)
 
 
 class ProjectionInputPose(nn.Module):
@@ -148,16 +155,19 @@ class ProjectionInputPose(nn.Module):
         p = nn.relu(_conv(64, (3, 3), "convp2", dtype=dt)(p))
         y = nn.relu(_conv(self.out_chs - 6, (3, 3), "convp", dtype=dt)(
             jnp.concatenate([c, p], axis=-1)))
-        return jnp.concatenate([y.astype(jnp.float32), pose_map], axis=-1)
+        return jnp.concatenate([y, pose_map.astype(y.dtype)], axis=-1)
 
 
 class DepthUpdateCell(nn.Module):
     """One inner depth-refinement step (`update.py:143-173`, loop body).
 
     Given the hidden state, the current inv-depth, the evaluated cost map and
-    the context features, produce the updated hidden state, the depth delta
-    and the upsampling mask. The caller owns the loop and the cost
-    evaluation so the warping stays outside the cell.
+    the context features, produce the updated hidden state and the depth
+    delta. The caller owns the loop and the cost evaluation so the warping
+    stays outside the cell; the convex-upsampling mask
+    (`UpdateMaskHead`) is likewise computed by the caller on the *kept*
+    hidden states only — inside the scan it would run (and backprop) every
+    inner step even though only the supervised predictions consume it.
     """
     hidden_dim: int = 128
     context_dim: int = 32
@@ -174,11 +184,24 @@ class DepthUpdateCell(nn.Module):
                          name="gru")(net, inp)
         delta = DepthHead(hidden_dim=self.hidden_dim, dtype=self.dtype,
                           name="head")(net)
-        mask = 0.25 * nn.Sequential([
-            _conv(self.hidden_dim * 2, (3, 3), "mask1", dtype=self.dtype),
-            nn.relu,
-            _conv(self.ratio * self.ratio * 9, (1, 1), "mask2")])(net)
-        return net, delta, mask
+        return net, delta
+
+
+class UpdateMaskHead(nn.Module):
+    """Convex-upsampling mask from a depth-GRU hidden state — the `mask`
+    branch of the reference update block (`update.py:147-151,171`), hoisted
+    out of the inner loop so it runs only on predictions that are actually
+    upsampled (identical math: the mask depends only on the hidden state)."""
+    hidden_dim: int = 128
+    ratio: int = 8
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, net: jnp.ndarray) -> jnp.ndarray:
+        y = nn.relu(_conv(self.hidden_dim * 2, (3, 3), "mask1",
+                          dtype=self.dtype)(net))
+        return 0.25 * _conv(self.ratio * self.ratio * 9, (1, 1),
+                            "mask2")(y.astype(jnp.float32))
 
 
 class PoseUpdateCell(nn.Module):

@@ -39,12 +39,26 @@ def replicated(mesh: Mesh) -> NamedSharding:
 
 
 def shard_batch(batch: dict, mesh: Mesh) -> dict:
-    """Device-put array leaves of a batch dict with the batch axis sharded."""
+    """Build a globally sharded batch from this host's loader output.
+
+    Single-process: a plain device_put with the batch axis sharded. Multi-
+    process: every host holds a *different* local batch, so the global array
+    must be assembled with `jax.make_array_from_process_local_data` — the
+    global batch concatenates the per-host batches along ``data`` (i.e.
+    ``datasets.*.batch_size`` is PER HOST, matching the reference's
+    per-worker DataLoader batch under Horovod,
+    `/root/reference/dro_sfm/models/model_wrapper.py:811-849`).
+    """
     sh = batch_sharding(mesh)
+    multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1:
-            out[k] = jax.device_put(v, sh)
+            if multiprocess:
+                out[k] = jax.make_array_from_process_local_data(
+                    sh, np.asarray(v))
+            else:
+                out[k] = jax.device_put(v, sh)
         else:
             out[k] = v
     return out

@@ -43,11 +43,32 @@ def save_checkpoint(path: str, state, epoch: int,
         json.dump(meta, f)
 
 
+def _migrate_legacy_layout(tree) -> None:
+    """Rewrite pre-mask-hoist checkpoints in place: the convex-upsample mask
+    convs moved from `refinement/update_block_depth/cell/mask{1,2}` to
+    `refinement/mask_head/mask{1,2}`. Applies anywhere the pattern occurs
+    (params and every param-shaped optimizer moment) — the reference's
+    `backwards_state_dict` key-rewrite mechanism (`utils/load.py:172-205`)."""
+    if not isinstance(tree, dict):
+        return
+    ref = tree.get("refinement")
+    if isinstance(ref, dict):
+        cell = ref.get("update_block_depth", {}).get("cell", {})
+        if isinstance(cell, dict) and ("mask1" in cell or "mask2" in cell):
+            head = ref.setdefault("mask_head", {})
+            for k in ("mask1", "mask2"):
+                if k in cell:
+                    head[k] = cell.pop(k)
+    for v in tree.values():
+        _migrate_legacy_layout(v)
+
+
 def load_checkpoint(path: str, state=None) -> Dict[str, Any]:
     """Load a checkpoint; with ``state`` given, restore into its structure
     (exact pytree match). Returns dict with payload + metadata."""
     with open(path, "rb") as f:
         raw = serialization.msgpack_restore(f.read())
+    _migrate_legacy_layout(raw)
     meta = {}
     if os.path.exists(path + ".json"):
         with open(path + ".json") as f:
@@ -59,7 +80,21 @@ def load_checkpoint(path: str, state=None) -> Dict[str, Any]:
             "opt_state": state.opt_state,
             "step": int(state.step),
         }
-        raw = serialization.from_state_dict(target, raw)
+        try:
+            raw = serialization.from_state_dict(target, raw)
+        except (ValueError, KeyError):
+            # Optimizer layout changed between versions (e.g. the move to
+            # per-group multi_transform states). Restore weights + step and
+            # keep the fresh optimizer state — still strictly better than
+            # the reference, whose resume always drops optimizer state
+            # (`model_wrapper.py:195-202`).
+            partial = {k: raw[k] for k in ("params", "batch_stats", "step")
+                       if k in raw}
+            restored = serialization.from_state_dict(
+                {k: target[k] for k in partial}, partial)
+            raw = {**target, **restored}
+            print("checkpoint: optimizer state layout mismatch — restored "
+                  "weights/step only, optimizer reinitialized")
     return {"payload": raw, "meta": meta}
 
 

@@ -73,24 +73,45 @@ def lr_schedule(name: str, base_lr: float, steps_per_epoch: int,
     return fn
 
 
-def make_optimizer(optimizer_cfg, scheduler_cfg, steps_per_epoch: int,
-                   ) -> optax.GradientTransformation:
-    """Adam/SGD + schedule from reference-style config nodes."""
-    schedule = lr_schedule(
-        scheduler_cfg.name, optimizer_cfg.depth.lr, steps_per_epoch,
+def group_schedule(group_cfg, scheduler_cfg, steps_per_epoch: int):
+    """LR schedule for one optimizer parameter group (also used by the
+    trainer to report the current lr to the experiment logger)."""
+    return lr_schedule(
+        scheduler_cfg.name, group_cfg.lr, steps_per_epoch,
         step_size=scheduler_cfg.step_size, gamma=scheduler_cfg.gamma,
         milestones=tuple(scheduler_cfg.milestones),
         t_max=scheduler_cfg.T_max, eta_min=scheduler_cfg.eta_min)
-    wd = optimizer_cfg.depth.weight_decay
-    if optimizer_cfg.name == "Adam":
-        if wd > 0:
-            tx = optax.adamw(schedule, weight_decay=wd)
-        else:
-            tx = optax.adam(schedule)
-    elif optimizer_cfg.name == "SGD":
-        tx = optax.sgd(schedule, momentum=optimizer_cfg.momentum)
-    else:
+
+
+def make_optimizer(optimizer_cfg, scheduler_cfg, steps_per_epoch: int,
+                   ) -> optax.GradientTransformation:
+    """Adam/SGD + schedule from reference-style config nodes.
+
+    Two parameter groups with their own lr / weight-decay, matching the
+    reference's Depth/Pose optimizer groups
+    (`model_wrapper.py:160-209`): parameters under a top-level ``pose_net``
+    module (the single-frame pose network) use ``optimizer.pose``;
+    everything else — the whole DRO DepthPoseNet, or the single-frame
+    ``depth_net`` — uses ``optimizer.depth``.
+    """
+    def group_tx(group_cfg) -> optax.GradientTransformation:
+        schedule = group_schedule(group_cfg, scheduler_cfg, steps_per_epoch)
+        wd = group_cfg.weight_decay
+        if optimizer_cfg.name == "Adam":
+            return (optax.adamw(schedule, weight_decay=wd) if wd > 0
+                    else optax.adam(schedule))
+        if optimizer_cfg.name == "SGD":
+            return optax.sgd(schedule, momentum=optimizer_cfg.momentum)
         raise ValueError(f"Unknown optimizer {optimizer_cfg.name}")
+
+    def labels(params):
+        return {k: jax.tree.map(
+            lambda _: "pose" if k == "pose_net" else "depth", v)
+            for k, v in params.items()}
+
+    tx = optax.multi_transform(
+        {"depth": group_tx(optimizer_cfg.depth),
+         "pose": group_tx(optimizer_cfg.pose)}, labels)
     clip = getattr(optimizer_cfg, "clip_grad_norm", 0.0) or 0.0
     if clip > 0:
         # Guards the recurrent refinement against saturation collapse
@@ -100,18 +121,23 @@ def make_optimizer(optimizer_cfg, scheduler_cfg, steps_per_epoch: int,
     return tx
 
 
+def initialize_variables(net, rng: jax.Array,
+                         sample_batch: Dict[str, Any]) -> Dict:
+    """Fresh variable tree for a sample batch (jitted init: on
+    remote-attached TPUs eager op-by-op dispatch of the hundreds of
+    initializer ops is catastrophically slow)."""
+    init_fn = jax.jit(lambda r, b: net.init(
+        r, b["rgb"], b["rgb_context"], b["intrinsics"], train=False))
+    return init_fn(rng, {k: sample_batch[k]
+                         for k in ("rgb", "rgb_context", "intrinsics")})
+
+
 def create_train_state(net, rng: jax.Array, sample_batch: Dict[str, Any],
                        tx: optax.GradientTransformation,
                        init_variables: Optional[Dict] = None) -> TrainState:
     """Initialize parameters (or adopt ``init_variables``) and wrap in state."""
     if init_variables is None:
-        # jit the init: on remote-attached TPUs eager op-by-op dispatch of
-        # the hundreds of initializer ops is catastrophically slow.
-        init_fn = jax.jit(lambda r, b: net.init(
-            r, b["rgb"], b["rgb_context"], b["intrinsics"], train=False))
-        init_variables = init_fn(
-            rng, {k: sample_batch[k]
-                  for k in ("rgb", "rgb_context", "intrinsics")})
+        init_variables = initialize_variables(net, rng, sample_batch)
     params = init_variables["params"]
     batch_stats = init_variables.get("batch_stats", {})
     return TrainState(

@@ -35,7 +35,12 @@ from dro_sfm_tpu.training.metrics import (
     MetricsConfig,
     compute_pose_metrics,
 )
-from dro_sfm_tpu.training.state import create_train_state, make_optimizer
+from dro_sfm_tpu.training.state import (
+    create_train_state,
+    group_schedule,
+    initialize_variables,
+    make_optimizer,
+)
 from dro_sfm_tpu.training.step import make_eval_step, make_train_step
 from dro_sfm_tpu.utils.logging import AvgMeter, pcolor, print_metrics_table
 
@@ -51,6 +56,9 @@ def model_config_from(cfg) -> SfmModelConfig:
         name=cfg.model.name,
         version=cfg.model.depth_net.version,
         min_depth=min_depth, max_depth=max_depth,
+        mixed_precision=bool(cfg.model.depth_net.get("mixed_precision", False)),
+        warp_impl=cfg.model.depth_net.get("warp_impl", "gather"),
+        remat=bool(cfg.model.depth_net.get("remat", True)),
         flip_lr_prob=loss.flip_lr_prob,
         supervised_loss_weight=loss.supervised_loss_weight,
         photometric=PhotometricLossConfig(
@@ -102,9 +110,27 @@ class Trainer:
         steps_per_epoch = max(1, len(self.train_loader))
         self.tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
                                  steps_per_epoch)
+        # depth-group schedule, re-evaluated for logger lr reporting
+        self._lr_fn = group_schedule(cfg.model.optimizer.depth,
+                                     cfg.model.scheduler, steps_per_epoch)
         sample = self._sample_batch()
         init_rng, self.rng = jax.random.split(self.rng)
-        self.state = create_train_state(self.net, init_rng, sample, self.tx)
+        init_vars = initialize_variables(self.net, init_rng, sample)
+        pretrained = cfg.model.depth_net.get("pretrained_encoders", "")
+        if pretrained:
+            from dro_sfm_tpu.training.init_weights import (
+                graft_pretrained_encoders, load_msgpack_tree)
+            init_vars = graft_pretrained_encoders(
+                init_vars, load_msgpack_tree(pretrained),
+                verbose=is_rank0())
+        if cfg.model.checkpoint_path:
+            # Warm-start from another experiment's checkpoint, partial-load
+            # semantics (ref `utils/load.py:116-205`).
+            from dro_sfm_tpu.training.init_weights import load_partial_network
+            init_vars = load_partial_network(
+                init_vars, cfg.model.checkpoint_path, verbose=is_rank0())
+        self.state = create_train_state(self.net, init_rng, sample, self.tx,
+                                        init_variables=init_vars)
         self.current_epoch = 0
         if resume:
             restored = load_checkpoint(resume, self.state)
@@ -165,6 +191,15 @@ class Trainer:
                           f"{len(self.train_loader):05d} "
                           f"loss {last_loss:.4f} (avg {run_avg:.4f}) "
                           f"{n_frames / dt:.1f} frames/s", flush=True)
+                    if self.logger:
+                        # per-step loss/lr to the experiment logger, not
+                        # just stdout (ref `model_wrapper.py:229-247`
+                        # logs 'loss'/'learning rate' every training step).
+                        step_no = int(self.state.step)
+                        self.logger.log_metrics({
+                            "train-loss-step": last_loss,
+                            "learning_rate": float(self._lr_fn(step_no)),
+                            "global_step": step_no})
         dt = time.time() - t0
         return {"avg_train-loss": avg.get(),
                 "train_frames_per_sec": n_frames / max(dt, 1e-9)}
@@ -194,10 +229,20 @@ class Trainer:
         sums = {m: np.zeros(9) for m in METRIC_MODES}
         pose_sum = np.zeros(3)
         count = 0
+        n_batches = 0
+        # num_logs depth-image panels spread over the epoch
+        # (ref `wandb_logger.py:131-160` log-interval semantics).
+        num_logs = self.cfg.wandb.get("num_logs", 5)
+        img_interval = max(1, len(loader) // max(num_logs, 1))
         for batch in loader:
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray) and k != "valid"}
             out = self.eval_step(variables, arrays)
+            if (self.logger and is_rank0()
+                    and n_batches % img_interval == 0):
+                self.logger.log_depth_images(
+                    dataset_name, batch, out,
+                    step=int(self.state.step) + n_batches)
             if save_artifacts and is_rank0():
                 from dro_sfm_tpu.utils.save import save_depth
                 save_depth(batch, out, self.cfg.save)
@@ -210,21 +255,32 @@ class Trainer:
                 pose_sum += compute_pose_metrics(
                     batch["pose_context"], np.asarray(out["pose"]))
             count += int(valid.sum())
-        # Cross-host reduction with the 'all samples seen' check
-        # (`utils/reduce.py:32-83` equivalent).
+            n_batches += 1
+        # Cross-host reduction with the 'all samples seen' check armed
+        # (`utils/reduce.py:70-71` equivalent): cross-shard padding
+        # duplicates carry valid=False, so the global valid count must equal
+        # the dataset size exactly.
         if jax.process_count() > 1:
             from dro_sfm_tpu.parallel.collectives import all_reduce_metric_sums
             stacked = np.concatenate(
-                [sums[m] for m in METRIC_MODES] + [pose_sum])
-            stacked, count = all_reduce_metric_sums(stacked, count)
+                [sums[m] for m in METRIC_MODES] + [pose_sum,
+                                                   [float(n_batches)]])
+            stacked, count = all_reduce_metric_sums(
+                stacked, count, expected_total=len(loader.dataset))
             for i, m in enumerate(METRIC_MODES):
                 sums[m] = stacked[i * 9:(i + 1) * 9]
-            pose_sum = stacked[len(METRIC_MODES) * 9:]
+            pose_sum = stacked[len(METRIC_MODES) * 9:-1]
+            n_batches = int(round(stacked[-1]))
+        else:
+            assert count == len(loader.dataset), (
+                f"eval saw {count} samples, expected {len(loader.dataset)}")
         results: Dict[str, float] = {}
         table = {}
         for mode in METRIC_MODES:
             vec = sums[mode] / max(count, 1)
-            pose_vec = pose_sum / max(len(loader), 1)
+            # pose metrics are per-batch (sample 0, reference parity) —
+            # divide by the GLOBAL batch count after the cross-host sum.
+            pose_vec = pose_sum / max(n_batches, 1)
             full = np.concatenate([vec, pose_vec])
             table[f"depth{mode}"] = full
             for name, value in zip(self.metric_keys, full):

@@ -142,6 +142,9 @@ DEFAULTS: Dict[str, Any] = {
     "wandb": {
         "dry_run": True, "name": "", "project": "", "entity": "",
         "tags": [], "dir": "", "url": "",
+        # depth-image panels logged per eval dataset per epoch
+        # (ref `wandb_logger.py:131-160` num_logs).
+        "num_logs": 5,
     },
     "model": {
         "name": "",
@@ -181,7 +184,15 @@ DEFAULTS: Dict[str, Any] = {
             "supervised_loss_weight": 0.9,
         },
         "depth_net": {"name": "", "checkpoint_path": "", "version": "",
-                      "dropout": 0.0},
+                      "dropout": 0.0,
+                      # TPU-specific perf/init knobs (no reference analog):
+                      # bfloat16 convs (fp32 geometry), warp sampler choice,
+                      # and a converted-resnet18 msgpack for ImageNet init
+                      # (ref `networks/optim/extractor.py:56-65`).
+                      "mixed_precision": False,
+                      "warp_impl": "gather",
+                      "remat": True,
+                      "pretrained_encoders": ""},
         "pose_net": {"name": "", "checkpoint_path": "", "version": "",
                      "dropout": 0.0},
         "percep_net": {"name": "", "checkpoint_path": "", "version": "",

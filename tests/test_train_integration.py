@@ -30,8 +30,8 @@ def synthetic_batch(n_scenes=2, h=64, w=96):
 
 @pytest.mark.slow
 def test_overfit_single_batch_supervised():
-    """80 Adam steps on one batch must cut the supervised loss by >50%
-    (measured convergence: 3.4 -> ~0.8 at step 80 with lr 1e-3)."""
+    """120 Adam steps on one batch must cut the supervised loss by >50%
+    (measured convergence: 2.3 -> 0.61 at step 120, 0.25 at 240, lr 1e-3)."""
     import optax
 
     model_cfg = SfmModelConfig(name="SupModelMF", version="it4-h-out",
@@ -48,7 +48,7 @@ def test_overfit_single_batch_supervised():
 
     rng = jax.random.PRNGKey(1)
     losses = []
-    for _ in range(80):
+    for _ in range(120):
         state, metrics = step(state, batch, rng)
         losses.append(float(metrics["loss"]))
     assert np.isfinite(losses).all()
@@ -160,3 +160,57 @@ def test_resume_exactness(tmp_path):
     s1, m1 = step(state, batch, rng)
     s2, m2 = step(fresh2, batch, rng)
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
+
+
+def test_per_group_learning_rates():
+    """make_optimizer applies optimizer.pose.lr to the pose_net subtree and
+    optimizer.depth.lr to everything else (`model_wrapper.py:160-209`)."""
+    cfg = load_config(overrides={
+        "model": {"optimizer": {"name": "SGD",
+                                "depth": {"lr": 0.1},
+                                "pose": {"lr": 0.001}}}})
+    tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
+                        steps_per_epoch=100)
+    params = {"depth_net": {"w": jnp.ones(3)}, "pose_net": {"w": jnp.ones(3)}}
+    opt_state = tx.init(params)
+    grads = jax.tree.map(jnp.ones_like, params)
+    updates, _ = tx.update(grads, opt_state, params)
+    np.testing.assert_allclose(updates["depth_net"]["w"], -0.1, rtol=1e-6)
+    np.testing.assert_allclose(updates["pose_net"]["w"], -0.001, rtol=1e-6)
+
+
+@pytest.mark.slow
+def test_single_frame_trainer_epoch(tmp_path):
+    """The single-frame task model (separate DepthResNet + PoseResNet)
+    trains end-to-end through the Trainer: finite loss, metrics, ckpt."""
+    from dro_sfm_tpu.training.trainer import Trainer
+
+    cfg = load_config(overrides={
+        "name": "single_frame_smoke",
+        "arch": {"max_epochs": 1},
+        "checkpoint": {"filepath": str(tmp_path / "ckpt"), "save_top_k": 1},
+        "model": {
+            "name": "SupModel",
+            "depth_net": {"name": "DepthResNet"},
+            "pose_net": {"name": "PoseResNet"},
+            "params": {"crop": "", "min_depth": 0.2, "max_depth": 20.0},
+            "loss": {"flip_lr_prob": 0.0},
+        },
+        "datasets": {
+            "augmentation": {"image_shape": (64, 96)},
+            "train": {"batch_size": 2, "num_workers": 2,
+                      "dataset": ["Synthetic"], "path": ["0"],
+                      "split": ["4"], "repeat": [2],
+                      "back_context": 1, "forward_context": 1},
+            "validation": {"batch_size": 2, "num_workers": 2,
+                           "dataset": ["Synthetic"], "path": ["1"],
+                           "split": ["3"], "back_context": 1,
+                           "forward_context": 1},
+            "test": {"dataset": [], "path": [], "split": []},
+        },
+    })
+    trainer = Trainer(cfg)
+    metrics = trainer.fit()
+    assert np.isfinite(metrics["avg_train-loss"])
+    assert np.isfinite(metrics["abs_rel_pp_gt"])
+    assert len(list((tmp_path / "ckpt").glob("*.ckpt"))) == 1

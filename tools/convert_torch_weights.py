@@ -51,7 +51,10 @@ def convert_resnet18_encoder(state_dict: dict, num_input_images: int = 1,
         node[path[-1]] = value
 
     w1 = conv_w(sd["conv1.weight"])
-    if num_input_images > 1:
+    if num_input_images > 1 and w1.shape[2] == 3:
+        # Replicate only genuinely single-image (3-channel) weights, e.g.
+        # torchvision ImageNet checkpoints; dro-sfm checkpoints already
+        # store the multi-image conv1.
         w1 = np.concatenate([w1] * num_input_images, axis=2) / num_input_images
     put(params, ("conv1", "kernel"), w1)
 
@@ -152,8 +155,13 @@ def convert_dro_checkpoint(state_dict: dict) -> dict:
                          (*base, "head", "conv1"))
             convert_conv(f"{torch_prefix}.depth_head.conv2",
                          (*base, "head", "conv2"))
-            convert_conv(f"{torch_prefix}.mask.0", (*base, "mask1"))
-            convert_conv(f"{torch_prefix}.mask.2", (*base, "mask2"))
+            # The mask branch is hoisted out of the scan body in the rebuild
+            # (runs only on kept predictions) — it lives beside the update
+            # blocks under the refinement scope.
+            convert_conv(f"{torch_prefix}.mask.0",
+                         ("refinement", "mask_head", "mask1"))
+            convert_conv(f"{torch_prefix}.mask.2",
+                         ("refinement", "mask_head", "mask2"))
         else:
             enc_map.update({"encoder.convp1": "convp1",
                             "encoder.convp2": "convp2",

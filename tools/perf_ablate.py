@@ -1,0 +1,145 @@
+"""On-device perf ablation of the training step.
+
+Times the full jitted train step (forward + loss + backward + Adam) for a
+grid of perf-knob variants — mixed_precision (bf16 convs), warp_impl
+(gather vs dense-matmul sampler), remat (recompute refinement steps in the
+backward) — at the flagship operating point (it12-h-out, 192x640, KITTI
+supervised). One process, variants sequential: the axon-attached TPU
+serializes concurrent processes and corrupts timings.
+
+Timing uses the forced-fetch pattern: on this backend
+``jax.block_until_ready`` does not reliably wait for device execution, so
+every timing loop anchors on a host fetch of a value derived from the
+computation (see bench.py).
+
+Usage:  python tools/perf_ablate.py [--batch 4] [--steps 20] [--out FILE]
+Writes one JSON line per variant to stdout and to --out (default
+results/perf_ablate.jsonl).
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def make_batch(b, n, h, w):
+    import jax.numpy as jnp
+    rng = np.random.default_rng(0)
+    K = np.array([[w * 0.8, 0, (w - 1) / 2], [0, w * 0.8, (h - 1) / 2],
+                  [0, 0, 1.0]], dtype=np.float32)
+    return {
+        "rgb": jnp.asarray(rng.uniform(size=(b, h, w, 3)), jnp.float32),
+        "rgb_context": jnp.asarray(
+            rng.uniform(size=(b, n, h, w, 3)), jnp.float32),
+        "rgb_original": jnp.asarray(
+            rng.uniform(size=(b, h, w, 3)), jnp.float32),
+        "rgb_context_original": jnp.asarray(
+            rng.uniform(size=(b, n, h, w, 3)), jnp.float32),
+        "intrinsics": jnp.broadcast_to(jnp.asarray(K), (b, 3, 3)),
+        "depth": jnp.asarray(
+            rng.uniform(1.0, 60.0, size=(b, h, w, 1)), jnp.float32),
+        "pose_context": jnp.broadcast_to(
+            jnp.eye(4, dtype=jnp.float32), (b, n, 4, 4)),
+    }
+
+
+def time_variant(name, batch, b, n_steps, *, mixed_precision, warp_impl,
+                 remat):
+    import jax
+
+    from dro_sfm_tpu.models.sfm import SfmModelConfig
+    from dro_sfm_tpu.training.state import create_train_state, make_optimizer
+    from dro_sfm_tpu.training.step import make_train_step
+    from dro_sfm_tpu.utils.config import load_config
+
+    model_cfg = SfmModelConfig(
+        name="SupModelMF", version="it12-h-out", min_depth=0.2,
+        max_depth=80.0, flip_lr_prob=0.5, mixed_precision=mixed_precision,
+        warp_impl=warp_impl, remat=remat)
+    net = model_cfg.build_net()
+    cfg = load_config()
+    tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
+                        steps_per_epoch=1000)
+    state = create_train_state(
+        net, jax.random.PRNGKey(0),
+        {k: batch[k] for k in ("rgb", "rgb_context", "intrinsics")}, tx)
+    train_step = make_train_step(model_cfg, net)
+    step_rng = jax.random.PRNGKey(1)
+
+    def fetch(s):
+        return float(jax.tree_util.tree_leaves(s.params)[0].ravel()[0])
+
+    t0 = time.perf_counter()
+    state, metrics = train_step(state, batch, step_rng)
+    fetch(state)
+    compile_s = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, metrics = train_step(state, batch, step_rng)
+    fetch(state)
+    dt = time.perf_counter() - t0
+    loss = float(metrics["loss"])
+
+    rec = {
+        "variant": name, "batch": b,
+        "mixed_precision": mixed_precision, "warp_impl": warp_impl,
+        "remat": remat,
+        "step_ms": round(dt / n_steps * 1e3, 2),
+        "frames_per_sec": round(b * n_steps / dt, 2),
+        "compile_s": round(compile_s, 1),
+        "loss": round(loss, 4),
+    }
+    # free device buffers before the next variant
+    del state, train_step
+    return rec
+
+
+VARIANTS = [
+    # (name, mixed_precision, warp_impl, remat)
+    ("fp32-gather-remat", False, "gather", True),     # round-1 default
+    ("fp32-gather", False, "gather", False),
+    ("bf16-gather", True, "gather", False),
+    ("bf16-matmul", True, "matmul", False),
+    ("bf16-gather-remat", True, "gather", True),
+    ("fp32-matmul", False, "matmul", False),
+]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--steps", type=int, default=20)
+    ap.add_argument("--views", type=int, default=2)
+    ap.add_argument("--out", default="results/perf_ablate.jsonl")
+    ap.add_argument("--only", default="",
+                    help="comma-separated variant names to run")
+    args = ap.parse_args()
+
+    b, n, h, w = args.batch, args.views, 192, 640
+    batch = make_batch(b, n, h, w)
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+
+    only = set(filter(None, args.only.split(",")))
+    for name, mp, warp, remat in VARIANTS:
+        if only and name not in only:
+            continue
+        try:
+            rec = time_variant(name, batch, b, args.steps,
+                               mixed_precision=mp, warp_impl=warp,
+                               remat=remat)
+        except Exception as e:  # OOM etc. — record and continue
+            rec = {"variant": name, "batch": b, "error": repr(e)[:300]}
+        line = json.dumps(rec)
+        print(line, flush=True)
+        with open(args.out, "a") as f:
+            f.write(line + "\n")
+
+
+if __name__ == "__main__":
+    main()
