@@ -6,16 +6,21 @@ Prints ONE JSON line:
 Measures frames/s of the full jitted training step (forward + supervised
 loss + backward + Adam) for the flagship network (it12-h-out) at the KITTI
 training resolution 192x640 with 2 context views — the operating point of
-the reference's published checkpoints (BASELINE.md). The reference publishes
-no throughput numbers, so ``vs_baseline`` compares against our own recorded
-baseline in BENCH_BASELINE.json (first run writes it; later runs show the
-speedup factor).
+the reference's published checkpoints (BASELINE.md). The model runs the
+config-default fast path (bf16 network, fully-unrolled refinement scans —
+tools/perf_ablate.py r2 sweep). The reference publishes no throughput
+numbers, so ``vs_baseline`` compares against the round-1 fp32 measurement
+recorded in BENCH_BASELINE.json (first run wrote it). The JSON line also
+reports achieved TFLOP/s and MFU from XLA cost analysis against the
+197 TFLOP/s bf16 peak of a v5e chip.
 """
 import json
 import os
 import time
 
 import numpy as np
+
+PEAK_BF16_TFLOPS = 197.0  # TPU v5e per-chip peak
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -30,7 +35,7 @@ def main():
     from dro_sfm_tpu.training.step import make_train_step
     from dro_sfm_tpu.utils.config import load_config
 
-    b, n, h, w = 4, 2, 192, 640
+    b, n, h, w = 8, 2, 192, 640
     rng = np.random.default_rng(0)
     K = np.array([[w * 0.8, 0, (w - 1) / 2], [0, w * 0.8, (h - 1) / 2],
                   [0, 0, 1.0]], dtype=np.float32)
@@ -51,7 +56,9 @@ def main():
 
     model_cfg = SfmModelConfig(name="SupModelMF", version="it12-h-out",
                                min_depth=0.2, max_depth=80.0,
-                               flip_lr_prob=0.5)
+                               flip_lr_prob=0.5,
+                               mixed_precision=True, remat=False,
+                               scan_unroll="full", warp_impl="pallas")
     net = model_cfg.build_net()
     cfg = load_config()
     tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
@@ -81,6 +88,19 @@ def main():
     dt = time.perf_counter() - t0
 
     frames_per_sec = b * n_steps / dt
+    step_ms = dt / n_steps * 1e3
+
+    # Static FLOPs of the step from XLA cost analysis (host-side lowering;
+    # does not retrigger the remote TPU compile).
+    try:
+        cost = train_step.lower(state, batch, step_rng).cost_analysis()
+        if isinstance(cost, list):
+            cost = cost[0]
+        tflops = float(cost.get("flops", 0.0)) / 1e12
+    except Exception:
+        tflops = 0.0
+    achieved = tflops / (step_ms * 1e-3) if tflops else 0.0
+    mfu = achieved / PEAK_BF16_TFLOPS if achieved else 0.0
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -94,8 +114,13 @@ def main():
     print(json.dumps({
         "metric": "train_frames_per_sec",
         "value": round(frames_per_sec, 3),
-        "unit": "frames/s (it12-h-out, 192x640, b4, supervised step)",
+        "unit": "frames/s (it12-h-out, 192x640, b8, supervised step, "
+                "bf16 unrolled Pallas-warp fast path)",
         "vs_baseline": round(vs_baseline, 3),
+        "step_ms": round(step_ms, 2),
+        "step_tflops": round(tflops, 3),
+        "achieved_tflops_per_s": round(achieved, 2),
+        "mfu_vs_bf16_peak": round(mfu, 4),
     }))
 
 

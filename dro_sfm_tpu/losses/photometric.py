@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from dro_sfm_tpu.geometry.camera import Camera
 from dro_sfm_tpu.geometry.pose import Pose
+from dro_sfm_tpu.losses.progressive import progressive_scale_mask
 from dro_sfm_tpu.ops.depth_ops import inv2depth
 from dro_sfm_tpu.ops.image import gradient_x, gradient_y
 from dro_sfm_tpu.ops.resample import bilinear_sample
@@ -40,6 +41,14 @@ class PhotometricLossConfig:
     # terms (`:259-265`); the single-frame path averages uniformly over
     # scales (packnet-sfm lineage) = gamma 1.0 + normalization.
     normalize_weights: bool = False
+    # Optional VGG16 perceptual distance between the target and the final
+    # prediction's warped context views (the reference ships PercepNet and
+    # the `percep_net` requirement plumbing but never consumes it in a
+    # loss; here the term is config-selectable end to end).
+    percep_loss_weight: float = 0.0
+    # drop the coarsest remaining scale after every this fraction of
+    # training (0 = off; `loss_base.py:40-77`)
+    progressive_scaling: float = 0.0
 
 
 def warp_context(image_ctx: jnp.ndarray, inv_depths: jnp.ndarray,
@@ -113,6 +122,7 @@ def multiview_photometric_loss(
         image: jnp.ndarray, context: jnp.ndarray, inv_depths: jnp.ndarray,
         K: jnp.ndarray, pose_vecs: jnp.ndarray,
         cfg: PhotometricLossConfig = PhotometricLossConfig(),
+        percep_fn=None, progress=0.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Total self-supervised loss.
 
@@ -121,7 +131,9 @@ def multiview_photometric_loss(
 
     Parity: `MultiViewPhotometricDecayLoss.forward` (`:303-361`), with the
     min-over-views reduction, automask, γ^(P-1-p) decay weighting and
-    smoothness term.
+    smoothness term. ``percep_fn(im1, im2) -> [B*,h,w,1]`` adds the
+    optional perceptual term on the final prediction's warps when
+    ``cfg.percep_loss_weight > 0``.
     """
     p = inv_depths.shape[0]
     warped = warp_context(context, inv_depths, pose_vecs, K)  # [P,B,N,H,W,3]
@@ -144,6 +156,8 @@ def multiview_photometric_loss(
         raise ValueError(cfg.photometric_reduce_op)
 
     gamma_w = cfg.gamma ** jnp.arange(p - 1, -1, -1, dtype=inv_depths.dtype)
+    gamma_w = gamma_w * progressive_scale_mask(
+        p, cfg.progressive_scaling, progress, inv_depths.dtype)
     photometric = (per_pred * gamma_w).sum()
     if cfg.normalize_weights:
         photometric = photometric / gamma_w.sum()
@@ -154,4 +168,14 @@ def multiview_photometric_loss(
         smooth = cfg.smooth_loss_weight * smoothness_loss(inv_depths, image, cfg)
         metrics["smoothness_loss"] = smooth
         loss = loss + smooth
+    if cfg.percep_loss_weight > 0.0 and percep_fn is not None:
+        # Final prediction only (the converged estimate); views folded into
+        # batch so the VGG slices run as one MXU pass.
+        b, n = context.shape[0], context.shape[1]
+        final_warp = warped[-1].reshape(b * n, *warped.shape[3:])
+        tgt = jnp.broadcast_to(image[:, None], context.shape)
+        tgt = tgt.reshape(b * n, *context.shape[2:])
+        percep = cfg.percep_loss_weight * percep_fn(tgt, final_warp).mean()
+        metrics["percep_loss"] = percep
+        loss = loss + percep
     return loss, metrics

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 
 from dro_sfm_tpu.geometry.camera import Camera
 from dro_sfm_tpu.geometry.pose import Pose
+from dro_sfm_tpu.losses.progressive import progressive_scale_mask
 from dro_sfm_tpu.ops.depth_ops import inv2depth
 
 
@@ -27,10 +28,14 @@ class SupervisedLossConfig:
     min_depth: float = 0.1
     max_depth: float = 100.0
     gamma: float = 0.85
+    # drop the coarsest remaining scale after every this fraction of
+    # training (0 = off; `loss_base.py:40-77`)
+    progressive_scaling: float = 0.0
 
 
 def supervised_depth_loss(inv_depths: jnp.ndarray, gt_inv_depth: jnp.ndarray,
-                          cfg: SupervisedLossConfig) -> jnp.ndarray:
+                          cfg: SupervisedLossConfig,
+                          progress=0.0) -> jnp.ndarray:
     """γ-decayed masked L1 on inverse depth.
 
     inv_depths [P,B,H,W,1]; gt_inv_depth [B,H,W,1].
@@ -47,6 +52,8 @@ def supervised_depth_loss(inv_depths: jnp.ndarray, gt_inv_depth: jnp.ndarray,
     per_pred = (valid * jnp.abs(gt_inv_depth[None] - inv_depths)).mean(
         axis=tuple(range(1, inv_depths.ndim)))                 # [P]
     w = cfg.gamma ** jnp.arange(p - 1, -1, -1, dtype=inv_depths.dtype)
+    w = w * progressive_scale_mask(p, cfg.progressive_scaling, progress,
+                                   inv_depths.dtype)
     return (per_pred * w).sum() / w.sum()
 
 
@@ -72,7 +79,8 @@ def _reproject_coords(depth: jnp.ndarray, pose_mats: jnp.ndarray,
 
 def supervised_pose_loss(pose_vecs: jnp.ndarray, gt_pose_context: jnp.ndarray,
                          gt_depth: jnp.ndarray, K: jnp.ndarray,
-                         cfg: SupervisedLossConfig) -> jnp.ndarray:
+                         cfg: SupervisedLossConfig,
+                         progress=0.0) -> jnp.ndarray:
     """Reprojection-difference pose loss.
 
     pose_vecs [B,N,P,6]; gt_pose_context [B,N,4,4] (target->context);
@@ -101,6 +109,8 @@ def supervised_pose_loss(pose_vecs: jnp.ndarray, gt_pose_context: jnp.ndarray,
     per = diff.mean(axis=tuple(range(2, diff.ndim)))           # [P,N]
     per_pred = per.mean(axis=1)                                # [P]
     w = cfg.gamma ** jnp.arange(p - 1, -1, -1, dtype=diff.dtype)
+    w = w * progressive_scale_mask(p, cfg.progressive_scaling, progress,
+                                   diff.dtype)
     return (per_pred * w).sum() / w.sum()
 
 
@@ -108,12 +118,14 @@ def supervised_depth_pose_loss(
         inv_depths: jnp.ndarray, gt_depth: jnp.ndarray,
         pose_vecs: jnp.ndarray, gt_pose_context: jnp.ndarray,
         K: jnp.ndarray, cfg: SupervisedLossConfig = SupervisedLossConfig(),
+        progress=0.0,
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Combined supervised loss (`SupervisedDepthPoseLoss.forward`,
     `supervised_loss.py:328-371`)."""
     gt_inv = depth2inv_safe(gt_depth)
-    loss_depth = supervised_depth_loss(inv_depths, gt_inv, cfg)
-    loss_pose = supervised_pose_loss(pose_vecs, gt_pose_context, gt_depth, K, cfg)
+    loss_depth = supervised_depth_loss(inv_depths, gt_inv, cfg, progress)
+    loss_pose = supervised_pose_loss(pose_vecs, gt_pose_context, gt_depth, K,
+                                     cfg, progress)
     loss = loss_depth + loss_pose
     return loss, {
         "depth_loss": loss_depth,

@@ -100,10 +100,16 @@ def warp_cost(fmap1, fmaps_ref, depth, pose_vecs, K_scaled,
     project into each reference camera (Tcw = pose), bilinearly sample the
     reference features (zeros padding, align_corners), squared difference.
 
-    ``impl`` selects the sampler: "gather" (XLA gather; scatter-add in the
-    backward) or "matmul" (dense tent-weight contraction on the MXU — no
-    scatters, fastest for the small stride-8 grids of the refinement loop).
+    ``impl`` selects the sampler: "pallas" (fused VMEM tent-matmul kernel —
+    the fastest train step measured on v5e, tools/perf_ablate.py r2),
+    "matmul" (dense tent-weight contraction on the MXU, no scatters), or
+    "gather" (XLA gather; scatter-add in the backward). The Pallas kernel
+    is TPU-only; on other backends it transparently degrades to "matmul"
+    (identical sampling semantics) so configs are portable to the CPU test
+    mesh and dry runs.
     """
+    if impl == "pallas" and jax.default_backend() != "tpu":
+        impl = "matmul"
     cam = Camera(K_scaled)
     world_points = cam.reconstruct(depth, frame="w")   # [B,h,w,3]
     ref_pose = Pose.from_vec(pose_vecs, "euler")       # [B,N,4,4]
@@ -195,6 +201,7 @@ class _OuterIteration(nn.Module):
     dtype: Any = jnp.float32
     warp_impl: str = "gather"
     remat: bool = True
+    unroll: str = "none"
 
     @nn.compact
     def __call__(self, carry, _):
@@ -219,9 +226,14 @@ class _OuterIteration(nn.Module):
         # recompute is faster.
         depth_step = nn.remat(_DepthStep) if self.remat else _DepthStep
         pose_step = nn.remat(_PoseStep) if self.remat else _PoseStep
+        # Unrolling the inner scans lets XLA fuse across step boundaries and
+        # drops the while-loop bookkeeping — the refinement loop runs at
+        # tiny stride-8 grids where per-op overhead, not FLOPs, dominates.
+        inner_unroll = spec.seq_len if self.unroll in ("inner", "full") else 1
         DepthScan = nn.scan(
             depth_step, variable_broadcast="params",
-            split_rngs={"params": False}, length=spec.seq_len)
+            split_rngs={"params": False}, length=spec.seq_len,
+            unroll=inner_unroll)
         (hidden_d, inv_depth, _), (d_seq, h_seq) = DepthScan(
             hidden_dim=spec.hidden_dim, context_dim=self.context_dim,
             ratio=self.ratio, min_depth=self.min_depth,
@@ -236,7 +248,8 @@ class _OuterIteration(nn.Module):
                        "inp": consts["inp_p"]}
         PoseScan = nn.scan(
             pose_step, variable_broadcast="params",
-            split_rngs={"params": False}, length=spec.seq_len)
+            split_rngs={"params": False}, length=spec.seq_len,
+            unroll=inner_unroll)
         (hidden_p, poses, _), p_seq = PoseScan(
             hidden_dim=spec.hidden_dim, context_dim=self.context_dim,
             dtype=self.dtype, warp_impl=self.warp_impl,
@@ -273,6 +286,8 @@ class DepthPoseNet(nn.Module):
                               # geometry, GRU states and heads stay fp32
     warp_impl: str = "gather"  # "gather" | "matmul" | "pallas" (see warp_cost)
     remat: bool = True         # recompute refinement steps in the backward
+    unroll: str = "none"       # none | inner | full — unroll the refinement
+                               # scans (runtime fusion vs compile time)
 
     @property
     def spec(self) -> VersionSpec:
@@ -360,13 +375,15 @@ class DepthPoseNet(nn.Module):
 
             OuterScan = nn.scan(
                 _OuterIteration, variable_broadcast="params",
-                split_rngs={"params": False}, length=spec.outer_iters)
+                split_rngs={"params": False}, length=spec.outer_iters,
+                unroll=spec.outer_iters if self.unroll == "full" else 1)
             carry = (hidden_d, hidden_p, inv_depth_init, pose_init, consts)
             _, (d_out, m_out, p_out) = OuterScan(
                 spec=spec, context_dim=cdim, ratio=self.feat_ratio,
                 min_depth=self.min_depth, max_depth=self.max_depth,
                 dtype=self.dtype, warp_impl=self.warp_impl,
-                remat=self.remat, name="refinement")(carry, None)
+                remat=self.remat, unroll=self.unroll,
+                name="refinement")(carry, None)
             # [O,keep,...] -> [O*keep,...]
             coarse_preds.append(d_out.reshape(-1, *d_out.shape[2:]))
             mask_preds.append(m_out.reshape(-1, *m_out.shape[2:]))

@@ -49,10 +49,17 @@ class SfmModelConfig:
     max_depth: float = 100.0
     flip_lr_prob: float = 0.5
     supervised_loss_weight: float = 0.9   # SemiSup only (`SemiSupModelMF.py:21`)
+    progressive_scaling: float = 0.0      # scale-count anneal (`loss_base.py:40`)
     photometric: PhotometricLossConfig = PhotometricLossConfig()
     mixed_precision: bool = False         # bfloat16 convs (fp32 geometry)
     warp_impl: str = "gather"             # warp sampler: gather | matmul
     remat: bool = True                    # recompute refinement steps in bwd
+    scan_unroll: str = "none"             # none | inner | full: unroll the
+                                          # refinement scans for cross-step
+                                          # fusion (more compile time)
+    # converted VGG16 msgpack for the perceptual loss term (used when
+    # photometric.percep_loss_weight > 0; random init when empty)
+    percep_pretrained: str = ""
 
     def __post_init__(self):
         if self.name not in MODEL_NAMES:
@@ -80,7 +87,8 @@ class SfmModelConfig:
             version=self.version, min_depth=self.min_depth,
             max_depth=self.max_depth,
             dtype=jnp.bfloat16 if self.mixed_precision else jnp.float32,
-            warp_impl=self.warp_impl, remat=self.remat)
+            warp_impl=self.warp_impl, remat=self.remat,
+            unroll=self.scan_unroll)
 
     @property
     def supervised(self) -> SupervisedLossConfig:
@@ -88,14 +96,17 @@ class SfmModelConfig:
         # the MF refinement iterations get the γ decay.
         return SupervisedLossConfig(min_depth=self.min_depth,
                                     max_depth=self.max_depth,
-                                    gamma=1.0 if self.single_frame else 0.85)
+                                    gamma=1.0 if self.single_frame else 0.85,
+                                    progressive_scaling=self.progressive_scaling)
 
     @property
     def photometric_cfg(self) -> PhotometricLossConfig:
+        photometric = dataclasses.replace(
+            self.photometric, progressive_scaling=self.progressive_scaling)
         if self.single_frame:
-            return dataclasses.replace(self.photometric, gamma=1.0,
+            return dataclasses.replace(photometric, gamma=1.0,
                                        normalize_weights=True)
-        return self.photometric
+        return photometric
 
 
 def forward(net: DepthPoseNet, variables: Dict, batch: Dict[str, jnp.ndarray],
@@ -135,7 +146,8 @@ def forward(net: DepthPoseNet, variables: Dict, batch: Dict[str, jnp.ndarray],
 
 
 def compute_loss(cfg: SfmModelConfig, output: Dict[str, jnp.ndarray],
-                 batch: Dict[str, jnp.ndarray],
+                 batch: Dict[str, jnp.ndarray], percep_fn=None,
+                 progress=0.0,
                  ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Task loss given the model name.
 
@@ -153,12 +165,13 @@ def compute_loss(cfg: SfmModelConfig, output: Dict[str, jnp.ndarray],
     if cfg.name in ("SelfSupModelMF", "SelfSupModel"):
         return multiview_photometric_loss(
             batch["rgb_original"], batch["rgb_context_original"],
-            inv_depths, K, pose_vecs, cfg.photometric_cfg)
+            inv_depths, K, pose_vecs, cfg.photometric_cfg,
+            percep_fn=percep_fn, progress=progress)
 
     if cfg.name in ("SupModelMF", "SupModel"):
         return supervised_depth_pose_loss(
             inv_depths, batch["depth"], pose_vecs, batch["pose_context"],
-            K, cfg.supervised)
+            K, cfg.supervised, progress=progress)
 
     # SemiSupModelMFPose / SemiSupModelPose (`SemiSupModelMF.py:78-118`)
     w = cfg.supervised_loss_weight
@@ -167,12 +180,13 @@ def compute_loss(cfg: SfmModelConfig, output: Dict[str, jnp.ndarray],
     if w < 1.0:
         self_loss, self_metrics = multiview_photometric_loss(
             batch["rgb_original"], batch["rgb_context_original"],
-            inv_depths, K, pose_vecs, cfg.photometric_cfg)
+            inv_depths, K, pose_vecs, cfg.photometric_cfg,
+            percep_fn=percep_fn, progress=progress)
         loss = (1.0 - w) * self_loss
         metrics.update(self_metrics)
     sup_loss, sup_metrics = supervised_depth_pose_loss(
         inv_depths, batch["depth"], pose_vecs, batch["pose_context"],
-        K, cfg.supervised)
+        K, cfg.supervised, progress=progress)
     loss = loss + w * sup_loss
     metrics.update(sup_metrics)
     return loss, metrics
@@ -180,11 +194,38 @@ def compute_loss(cfg: SfmModelConfig, output: Dict[str, jnp.ndarray],
 
 def forward_and_loss(cfg: SfmModelConfig, net: DepthPoseNet, variables: Dict,
                      batch: Dict[str, jnp.ndarray], rng: jax.Array,
+                     percep_fn=None, progress=0.0,
                      ) -> Tuple[jnp.ndarray, Tuple[Dict, Dict, Dict]]:
     """Training closure: forward + loss. Returns (loss, (output, metrics,
     mutable updates)) — the shape `jax.value_and_grad(..., has_aux=True)`
     wants."""
     output, updates = forward(net, variables, batch, train=True, rng=rng,
                               flip_lr_prob=cfg.flip_lr_prob)
-    loss, metrics = compute_loss(cfg, output, batch)
+    loss, metrics = compute_loss(cfg, output, batch, percep_fn=percep_fn,
+                                 progress=progress)
     return loss, (output, metrics, updates)
+
+
+def make_percep_fn(cfg: SfmModelConfig):
+    """Frozen perceptual-distance closure, or None when the term is off.
+
+    The VGG16 slice network is NOT part of the optimized parameters — it is
+    a fixed feature extractor closed over by the train step (ImageNet
+    weights from ``cfg.percep_pretrained``, a converted msgpack; random
+    init otherwise, which still regularizes via random projections).
+    """
+    uses_photometric = cfg.name in ("SelfSupModelMF", "SelfSupModel",
+                                    "SemiSupModelMFPose", "SemiSupModelPose")
+    if cfg.photometric_cfg.percep_loss_weight <= 0.0 or not uses_photometric:
+        return None
+    from dro_sfm_tpu.models.percep import PercepNet
+    pnet = PercepNet()
+    if cfg.percep_pretrained:
+        from flax import serialization
+        with open(cfg.percep_pretrained, "rb") as f:
+            pvars = serialization.msgpack_restore(f.read())
+    else:
+        dummy = jnp.zeros((1, 64, 96, 3), jnp.float32)
+        pvars = jax.jit(lambda: pnet.init(
+            jax.random.PRNGKey(0), dummy, dummy))()
+    return lambda im1, im2: pnet.apply(pvars, im1, im2)

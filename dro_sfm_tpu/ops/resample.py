@@ -65,7 +65,12 @@ def bilinear_sample(image: jnp.ndarray, coords: jnp.ndarray,
         yi = y0 + dy
         valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
         tap = _gather_2d(image, jnp.clip(xi, 0, w - 1), jnp.clip(yi, 0, h - 1))
-        tap = tap * (weight * valid.astype(image.dtype))[..., None]
+        # weights follow the image dtype: bf16 feature maps keep the whole
+        # tap chain (and its saved-for-backward residuals) in bf16 instead
+        # of promoting to the f32 coordinate dtype; f32 images (RGB warps
+        # in the photometric loss, eval) keep full precision.
+        tap = tap * (weight * valid.astype(weight.dtype)).astype(
+            image.dtype)[..., None]
         out = tap if out is None else out + tap
     return out
 

@@ -21,7 +21,12 @@ import jax.numpy as jnp
 
 from dro_sfm_tpu.geometry.pose import Pose
 from dro_sfm_tpu.models.depth_pose_net import DepthPoseNet
-from dro_sfm_tpu.models.sfm import SfmModelConfig, forward, forward_and_loss
+from dro_sfm_tpu.models.sfm import (
+    SfmModelConfig,
+    forward,
+    forward_and_loss,
+    make_percep_fn,
+)
 from dro_sfm_tpu.ops.depth_ops import inv2depth
 from dro_sfm_tpu.ops.image import flip_intrinsics, flip_lr
 from dro_sfm_tpu.training.metrics import MetricsConfig, compute_depth_metrics
@@ -31,16 +36,19 @@ from dro_sfm_tpu.utils.depth import post_process_inv_depth
 
 def make_train_step(model_cfg: SfmModelConfig, net: DepthPoseNet):
     """Build the jitted training step: grads + optimizer + BN-stat update."""
+    percep_fn = make_percep_fn(model_cfg)
 
     @functools.partial(jax.jit, donate_argnums=(0,))
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray],
-                   rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+                   rng: jax.Array, progress: float = 0.0,
+                   ) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(params):
             variables = {"params": params, "batch_stats": state.batch_stats}
             loss, aux = forward_and_loss(model_cfg, net, variables, batch,
-                                         step_rng)
+                                         step_rng, percep_fn=percep_fn,
+                                         progress=progress)
             return loss, aux
 
         (loss, (_, metrics, updates)), grads = jax.value_and_grad(

@@ -59,9 +59,13 @@ def model_config_from(cfg) -> SfmModelConfig:
         mixed_precision=bool(cfg.model.depth_net.get("mixed_precision", False)),
         warp_impl=cfg.model.depth_net.get("warp_impl", "gather"),
         remat=bool(cfg.model.depth_net.get("remat", True)),
+        scan_unroll=cfg.model.depth_net.get("scan_unroll", "none"),
         flip_lr_prob=loss.flip_lr_prob,
         supervised_loss_weight=loss.supervised_loss_weight,
+        progressive_scaling=loss.get("progressive_scaling", 0.0),
+        percep_pretrained=cfg.model.percep_net.checkpoint_path,
         photometric=PhotometricLossConfig(
+            percep_loss_weight=loss.get("percep_loss_weight", 0.0),
             ssim_loss_weight=loss.ssim_loss_weight,
             smooth_loss_weight=loss.smooth_loss_weight,
             c1=loss.C1, c2=loss.C2,
@@ -176,11 +180,15 @@ class Trainer:
         n_frames = 0
         rng = jax.random.fold_in(self.rng, epoch)
         last_loss = float("nan")
+        # training progress for ProgressiveScaling
+        # (ref `model_wrapper.py:156-158` current_epoch / max_epochs)
+        progress = float(epoch) / max(self.cfg.arch.max_epochs, 1)
         for i, batch in enumerate(self.train_loader):
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray) and k != "valid"}
             arrays = shard_batch(arrays, self.mesh)
-            self.state, metrics = self.train_step(self.state, arrays, rng)
+            self.state, metrics = self.train_step(self.state, arrays, rng,
+                                                  progress)
             n_frames += batch["rgb"].shape[0]
             if (i + 1) % 10 == 0 or i == 0:
                 last_loss = float(metrics["loss"])

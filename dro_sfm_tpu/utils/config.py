@@ -182,6 +182,9 @@ DEFAULTS: Dict[str, Any] = {
             "supervised_method": "sparse-l1",
             "supervised_num_scales": 4,
             "supervised_loss_weight": 0.9,
+            # optional VGG16 perceptual term on the final prediction's
+            # warps (net from model.percep_net.checkpoint_path)
+            "percep_loss_weight": 0.0,
         },
         "depth_net": {"name": "", "checkpoint_path": "", "version": "",
                       "dropout": 0.0,
@@ -189,9 +192,17 @@ DEFAULTS: Dict[str, Any] = {
                       # bfloat16 convs (fp32 geometry), warp sampler choice,
                       # and a converted-resnet18 msgpack for ImageNet init
                       # (ref `networks/optim/extractor.py:56-65`).
-                      "mixed_precision": False,
-                      "warp_impl": "gather",
-                      "remat": True,
+                      # Perf defaults = the measured fast path on TPU v5e
+                      # (tools/perf_ablate.py r2: bf16 + fully-unrolled
+                      # refinement scans + fused Pallas tent-warp + no
+                      # remat = 72.2 ms/step vs 123.6 fp32-gather-remat at
+                      # b4 192x640 it12-h-out; pallas degrades to matmul
+                      # off-TPU). remat must be re-enabled for batch >= 16
+                      # (HBM).
+                      "mixed_precision": True,
+                      "warp_impl": "pallas",
+                      "remat": False,
+                      "scan_unroll": "full",
                       "pretrained_encoders": ""},
         "pose_net": {"name": "", "checkpoint_path": "", "version": "",
                      "dropout": 0.0},

@@ -19,6 +19,11 @@ def parse_args():
     parser.add_argument("--checkpoint", required=True, help=".ckpt file")
     parser.add_argument("--config", default=None,
                         help="Optional .yaml overriding the ckpt config")
+    parser.add_argument("--half", action="store_true",
+                        help="half-precision evaluation (bfloat16 network, "
+                             "fp32 geometry) — the TPU equivalent of the "
+                             "reference's fp16 `--half` mode "
+                             "(ref scripts/eval.py:33-67)")
     return parser.parse_args()
 
 
@@ -33,6 +38,9 @@ def main():
         with open(args.checkpoint + ".json") as f:
             meta = json.load(f)
         cfg = prepare_config(ConfigNode(meta["config"]))
+
+    if args.half:
+        cfg.model.depth_net.mixed_precision = True
 
     trainer = Trainer(cfg, resume=args.checkpoint)
     if trainer.test_datasets is not None:

@@ -37,6 +37,14 @@ def parse_args():
                         "dense bundle adjustment (Schur-reduced GN)")
     p.add_argument("--ba-stride", type=int, default=2,
                    help="keyframe subsampling for BA")
+    p.add_argument("--gt-poses", default=None,
+                   help="directory of per-frame GT pose txts ([4,4], "
+                        "matched by frame basename); enables the GT "
+                        "trajectory panels + ATE printout")
+    p.add_argument("--gt-depth", default=None,
+                   help="directory of per-frame GT depth pngs (mm, matched "
+                        "by basename) for the GT-depth panel")
+    p.add_argument("--fps", type=float, default=10.0)
     return p.parse_args()
 
 
@@ -73,6 +81,14 @@ def main():
         make_infer_fn,
     )
     from dro_sfm_tpu.utils.depth import viz_inv_depth
+    from dro_sfm_tpu.visualization.demo_video import (
+        DemoVideoComposer,
+        align_to_gt,
+        cloud_topdown_panel,
+        draw_trajectory_panel,
+        load_gt_poses,
+        poses_to_obj,
+    )
     from dro_sfm_tpu.visualization.pointcloud import depth_to_points, write_ply
     from dro_sfm_tpu.visualization.trajectory import plot_trajectory
 
@@ -106,10 +122,12 @@ def main():
     accum = TrajectoryAccumulator()
     depth_list, pose_list = [], []
     all_points, all_colors = [], []
-    video_path = os.path.join(args.output, "depth_vis.mp4")
-    writer = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"),
-                             10, (shape[1] * 2, shape[0]))
     depths_out = []
+    # Per-frame panel snapshots (half-res) for the annotated composition.
+    ph, pw = shape[0] // 2, shape[1] // 2
+    rgb_panels, depth_panels, mask_panels, gtd_panels = [], [], [], []
+    cloud_counts = []
+    frame_names = []
 
     for i in range(1, len(files) - 1):
         target = load(files[i])
@@ -145,16 +163,32 @@ def main():
         all_points.append(pts)
         all_colors.append(colors)
 
-        # Visualization frame: rgb | inverse-depth colormap.
+        # Panel snapshots: rgb, inverse-depth colormap, validity-mask
+        # overlay, optional GT depth; cloud panels use cumulative counts.
         inv = np.where(depth > 0, 1.0 / np.maximum(depth, 1e-6), 0.0)
         viz = (viz_inv_depth(inv) * 255).astype(np.uint8)
-        panel = np.concatenate(
-            [(target * 255).astype(np.uint8), viz], axis=1)
-        writer.write(panel[..., ::-1])
+        rgb_u8 = (target * 255).astype(np.uint8)
+        valid = (filtered > 0).astype(np.float32)[..., None]
+        overlay = (rgb_u8 * (0.35 + 0.65 * valid)).astype(np.uint8)
+        rgb_panels.append(cv2.resize(rgb_u8, (pw, ph)))
+        depth_panels.append(cv2.resize(viz, (pw, ph)))
+        mask_panels.append(cv2.resize(overlay, (pw, ph)))
+        if args.gt_depth:
+            base = os.path.splitext(os.path.basename(files[i]))[0]
+            gtp = os.path.join(args.gt_depth, base + ".png")
+            if os.path.exists(gtp):
+                from dro_sfm_tpu.data.scannet import read_png_depth_mm
+                gtd = read_png_depth_mm(gtp)[..., 0]
+                gti = np.where(gtd > 0, 1.0 / np.maximum(gtd, 1e-6), 0.0)
+                gtv = (viz_inv_depth(gti) * 255).astype(np.uint8)
+                gtd_panels.append(cv2.resize(gtv, (pw, ph)))
+            else:
+                gtd_panels.append(None)
+        cloud_counts.append(sum(len(p) for p in all_points))
+        frame_names.append(os.path.basename(files[i]))
         if i % 10 == 0:
             print(f"[{i}/{len(files) - 2}] frames processed")
 
-    writer.release()
     np.save(os.path.join(args.output, "depths.npy"), np.stack(depths_out))
 
     if args.ba and len(pose_list) >= 3:
@@ -188,14 +222,65 @@ def main():
         print(f"dense BA refined {len(kf)} keyframes "
               f"(scales {np.exp(np.asarray(sigmas)).round(3)})")
 
+    # GT trajectory mode: per-frame pose txts -> aligned overlay + ATE.
+    gt_poses = (load_gt_poses(args.gt_poses, files[1:len(files) - 1])
+                if args.gt_poses else None)
+    ate = None
+    gt_positions = None
+    if gt_poses is not None and len(gt_poses) == len(pose_list):
+        aligned, ate = align_to_gt(pose_list, gt_poses)
+        gt_positions = np.stack([p[:3, 3] for p in gt_poses])
+        print(f"ATE-RMSE vs GT trajectory (sim3-aligned): {ate:.4f} m")
+    elif args.gt_poses:
+        print("warning: GT poses missing/unmatched; trajectory panels "
+              "render pred only")
+
     accum.save_json(os.path.join(args.output, "trajectory.json"))
     plot_trajectory(os.path.join(args.output, "trajectory.png"),
-                    accum.trajectory)
+                    accum.trajectory, gt_poses=gt_poses)
+    poses_to_obj(os.path.join(args.output, "trajectory_pose.obj"), pose_list)
     pts = np.concatenate(all_points)
     colors = np.concatenate(all_colors)
     write_ply(os.path.join(args.output, "pointcloud.ply"), pts, colors)
-    print(f"outputs in {args.output}: depths.npy, trajectory.json/png, "
-          f"pointcloud.ply ({pts.shape[0]} points), depth_vis.mp4")
+
+    # Annotated multi-panel composition (after BA so trajectories reflect
+    # the refined keyframes; `infer_video.py:723-846`).
+    composer = DemoVideoComposer(
+        shape, model_path=args.checkpoint, data_path=args.input,
+        sample_rate=args.sample_rate, max_frames=args.max_frames,
+        fps=args.fps)
+    video_path = os.path.join(args.output, "depth_vis.mp4")
+    H, W = composer.frame_size
+    writer = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"),
+                             args.fps, (W, H))
+    panel_size = (ph, pw)
+    for i in range(len(rgb_panels)):
+        panels = {
+            "rgb": rgb_panels[i],
+            "mask": mask_panels[i],
+            "depth": depth_panels[i],
+            "traj": draw_trajectory_panel(pose_list, i, size=panel_size,
+                                          label="pred"),
+            "cloud": cloud_topdown_panel(
+                pts[:cloud_counts[i]] if cloud_counts[i] else pts[:0],
+                colors[:cloud_counts[i]] if cloud_counts[i] else colors[:0],
+                size=panel_size),
+        }
+        if i < len(gtd_panels) and gtd_panels[i] is not None:
+            panels["depth_gt"] = gtd_panels[i]
+        if gt_positions is not None:
+            panels["traj_vs_gt"] = draw_trajectory_panel(
+                pose_list, i, size=panel_size, overlay=gt_positions,
+                label="pred(b) vs gt(r)")
+            panels["traj_gt"] = draw_trajectory_panel(
+                gt_poses, i, size=panel_size, color=(255, 90, 90),
+                label="gt")
+        frame = composer.compose(panels, i, frame_names[i], ate=ate)
+        writer.write(frame[..., ::-1])
+    writer.release()
+    print(f"outputs in {args.output}: depths.npy, trajectory.json/png/obj, "
+          f"pointcloud.ply ({pts.shape[0]} points), depth_vis.mp4 "
+          f"({W}x{H} annotated 8-panel)")
 
 
 if __name__ == "__main__":

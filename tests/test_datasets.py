@@ -183,8 +183,9 @@ def test_matterport_dataset(matterport_tree):
 # KITTI (velodyne npz depth + oxts pose chain)
 # ---------------------------------------------------------------------------
 
-@pytest.fixture
-def kitti_tree(tmp_path):
+def build_kitti_tree(tmp_path):
+    """Minimal KITTI-layout tree (also used by the train-CLI overfit
+    test)."""
     root = tmp_path / "kitti"
     date = "2011_09_26"
     drive = f"{date}/{date}_drive_0001_sync"
@@ -218,6 +219,11 @@ def kitti_tree(tmp_path):
     return str(root)
 
 
+@pytest.fixture
+def kitti_tree(tmp_path):
+    return build_kitti_tree(tmp_path)
+
+
 def test_kitti_dataset(kitti_tree):
     from dro_sfm_tpu.data.kitti import KITTIDataset
     ds = KITTIDataset(kitti_tree, "split.txt", mode="validation",
@@ -235,3 +241,172 @@ def test_kitti_dataset(kitti_tree):
     assert np.all(np.isfinite(rel))
     yaw = np.arctan2(rel[0, 2], rel[0, 0])
     assert abs(abs(yaw)) < 0.5  # small rotation, right order of magnitude
+
+
+# ---------------------------------------------------------------------------
+# NYU (processed h5 dumps)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def nyu_tree(tmp_path):
+    import h5py
+    root = tmp_path / "nyu"
+    for sess in ("bathroom_0001", "bedroom_0002"):
+        d = root / sess
+        os.makedirs(d, exist_ok=True)
+        for i in range(4):
+            rng = np.random.default_rng(i)
+            with h5py.File(d / f"{i:05d}.h5", "w") as f:
+                f["rgb"] = rng.integers(
+                    0, 255, size=(3, 48, 64)).astype(np.uint8)
+                f["depth"] = np.full((48, 64), 2.0 + i, dtype=np.float32)
+    return str(root)
+
+
+def test_nyu_dataset(nyu_tree):
+    from dro_sfm_tpu.data.nyu import NYU_K, NYUDataset
+    ds = NYUDataset(nyu_tree, mode="validation",
+                    back_context=1, forward_context=1)
+    assert len(ds) == 4  # (4 - 2 border) per session x 2 sessions
+    s = ds[0]
+    validate_sample(s)
+    assert s["rgb_context"].shape == (2, 48, 64, 3)
+    np.testing.assert_allclose(s["intrinsics"], NYU_K)
+    # target of the first sample is frame 1 of the session -> depth 3.0
+    assert abs(float(s["depth"].max()) - 3.0) < 1e-6
+
+
+def test_nyu_train_mode_resize(nyu_tree):
+    from dro_sfm_tpu.data.nyu import NYUDataset
+    ds = NYUDataset(nyu_tree, mode="train", back_context=1,
+                    forward_context=0, image_shape=(32, 48),
+                    jittering=(0.2, 0.2, 0.2, 0.05))
+    s = ds[0]
+    assert s["rgb"].shape == (32, 48, 3)
+    assert s["rgb_context"].shape == (1, 32, 48, 3)
+    assert s["depth"].shape == (32, 48, 1)
+
+
+# ---------------------------------------------------------------------------
+# DemonMF (2-/3-view folders, middle-frame target)
+# ---------------------------------------------------------------------------
+
+@pytest.fixture
+def demon_mf_tree(tmp_path):
+    root = tmp_path / "demon_mf"
+    # 3-view folder
+    d3 = root / "sun3d_three"
+    for i in range(3):
+        write_jpg(str(d3 / f"{i:04d}.jpg"), seed=i)
+        np.save(str(d3 / f"{i:04d}.npy"),
+                np.full((48, 64), 2.0 + i, dtype=np.float32))
+    poses = []
+    for i in range(3):
+        T = np.eye(4)
+        T[:3, 3] = [0.2 * i, 0.0, 0.0]
+        poses.append(T[:3].reshape(-1))
+    np.savetxt(str(d3 / "poses.txt"), np.stack(poses))
+    np.savetxt(str(d3 / "cam.txt"),
+               np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]]))
+    # 2-view folder
+    d2 = root / "sun3d_two"
+    for i in range(2):
+        write_jpg(str(d2 / f"{i:04d}.jpg"), seed=10 + i)
+        np.save(str(d2 / f"{i:04d}.npy"),
+                np.full((48, 64), 5.0, dtype=np.float32))
+    np.savetxt(str(d2 / "poses.txt"), np.stack(poses[:2]))
+    np.savetxt(str(d2 / "cam.txt"),
+               np.array([[60.0, 0, 32], [0, 60.0, 24], [0, 0, 1]]))
+    with open(root / "train.txt", "w") as f:
+        f.write("sun3d_three\nsun3d_two\n")
+    return str(root)
+
+
+def test_demon_mf_three_view(demon_mf_tree):
+    """3-view mode: middle frame is the target, only 3-view folders kept."""
+    from dro_sfm_tpu.data.demon_mf import DemonMFDataset
+    ds = DemonMFDataset(demon_mf_tree, "train.txt", mode="validation",
+                        back_context=1, forward_context=1)
+    assert len(ds) == 1  # the two-view folder is filtered out
+    s = ds[0]
+    validate_sample(s)
+    assert s["rgb_context"].shape == (2, 48, 64, 3)
+    # target = frame 1 -> depth 3.0; context rel poses +-0.2 in x
+    assert abs(float(s["depth"].max()) - 3.0) < 1e-6
+    np.testing.assert_allclose(
+        s["pose_context"][0][:3, 3], [-0.2, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(
+        s["pose_context"][1][:3, 3], [0.2, 0, 0], atol=1e-6)
+
+
+def test_demon_mf_two_view(demon_mf_tree):
+    from dro_sfm_tpu.data.demon_mf import DemonMFDataset
+    ds = DemonMFDataset(demon_mf_tree, "train.txt", mode="validation",
+                        back_context=0, forward_context=1)
+    assert len(ds) == 2
+    s = ds[1]
+    validate_sample(s)
+    assert s["rgb_context"].shape == (1, 48, 64, 3)
+    np.testing.assert_allclose(
+        s["pose_context"][0][:3, 3], [0.2, 0, 0], atol=1e-6)
+
+
+# ---------------------------------------------------------------------------
+# ScanNet paired-tuple test reader + BA-split registrations
+# ---------------------------------------------------------------------------
+
+def test_scannet_test_tuples(scannet_tree):
+    from dro_sfm_tpu.data.scannet import ScannetTestDataset
+    root, _ = scannet_tree
+    tuples = os.path.join(os.path.dirname(root), "tuples.txt")
+    with open(tuples, "w") as f:
+        f.write("scene0000_00/color 2.jpg 0.jpg 4.jpg\n")
+        f.write("scene0000_00/color 5.jpg 3.jpg 7.jpg\n")
+    ds = ScannetTestDataset(root, "tuples.txt", mode="validation")
+    assert len(ds) == 2
+    s = ds[0]
+    validate_sample(s)
+    assert s["rgb_context"].shape[0] == 2
+    # context 0 is frame 0, target frame 2: rel translation -0.2 in x
+    # (poses translate +0.1x per frame; rel = inv(ctx) @ target)
+    np.testing.assert_allclose(
+        s["pose_context"][0][:3, 3], [0.2, 0, 0], atol=1e-6)
+    np.testing.assert_allclose(
+        s["pose_context"][1][:3, 3], [-0.2, 0, 0], atol=1e-6)
+
+
+@pytest.mark.parametrize("name", ["ScannetBA", "MatterportBA",
+                                  "ScannetTestMF"])
+def test_ba_split_registrations(scannet_tree, name):
+    """BA-style registrations load explicit-tuple split lines end to end
+    through the config-driven `setup_dataset` dispatch."""
+    from dro_sfm_tpu.data import setup_dataset
+    from dro_sfm_tpu.utils.config import load_config
+    root, _ = scannet_tree
+    tuples = os.path.join(os.path.dirname(root), "ba_tuples.txt")
+    with open(tuples, "w") as f:
+        f.write("scene0000_00/color 3.jpg 1.jpg 5.jpg\n")
+    cfg = load_config(overrides={"datasets": {
+        "augmentation": {"image_shape": [48, 64]},
+        "validation": {
+            "dataset": [name], "path": [root], "split": ["ba_tuples.txt"],
+            "depth_type": ["groundtruth"]}}})
+    (ds,) = setup_dataset(cfg.datasets.validation,
+                          cfg.datasets.augmentation, "validation")
+    assert len(ds) == 1
+    s = ds[0]
+    validate_sample(s)
+    assert s["rgb_context"].shape[0] == 2
+
+
+def test_image_dataset(tmp_path):
+    from dro_sfm_tpu.data.video import ImageDataset
+    root = tmp_path / "imgs"
+    for i in range(5):
+        write_jpg(str(root / "setA" / f"{i:03d}.jpg"), seed=i)
+    ds = ImageDataset(str(root), mode="validation",
+                      back_context=1, forward_context=1)
+    assert len(ds) == 3
+    s = ds[0]
+    validate_sample(s)
+    assert s["rgb_context"].shape == (2, 48, 64, 3)

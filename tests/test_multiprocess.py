@@ -1,0 +1,53 @@
+"""True 2-process distributed training test on CPU.
+
+Launches two `jax.distributed`-coordinated subprocesses (2 virtual CPU
+devices each → 4-device global mesh) that run one sharded train step on
+*different* local batches and a metric all-reduce with the armed
+all-samples-seen check. This exercises the multi-host code paths the
+single-process 8-device dryrun cannot: `jax.make_array_from_process_local_data`
+batch assembly, cross-host gradient averaging, and cross-host metric sums
+(reference semantics: `/root/reference/dro_sfm/utils/reduce.py:40-75`).
+"""
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+@pytest.mark.slow
+def test_two_process_train_step_and_metric_reduce():
+    nprocs = 2
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "_mp_worker.py")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)  # worker sets its own device count
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(nprocs), str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for i in range(nprocs)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"MPOK {i}" in out, out
+
+    # Every host must observe identical replicated loss/params.
+    vals = [re.search(r"loss=([\d.eE+-]+) p0=([\d.eE+-]+)", o).groups()
+            for o in outs]
+    assert vals[0] == vals[1], vals

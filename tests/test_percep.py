@@ -1,0 +1,134 @@
+"""PercepNet: VGG16 perceptual distance + loss wiring + torch oracle.
+
+Covers the optional perceptual loss term end to end (VERDICT r1 #10): the
+flax PercepNet matches a torch replica of the reference slices
+(`/root/reference/dro_sfm/networks/layers/PercepNet.py:6-77`) after weight
+conversion, and `percep_loss_weight` reaches the self-supervised loss
+through config.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dro_sfm_tpu.models.percep import PercepNet
+
+
+def _imgs(seed=0, b=2, h=64, w=96):
+    rng = np.random.default_rng(seed)
+    return (rng.uniform(size=(b, h, w, 3)).astype(np.float32),
+            rng.uniform(size=(b, h, w, 3)).astype(np.float32))
+
+
+def test_identical_images_zero_distance():
+    net = PercepNet(resize=False)
+    im1, _ = _imgs()
+    vars_ = net.init(jax.random.PRNGKey(0), im1, im1)
+    d = net.apply(vars_, jnp.asarray(im1), jnp.asarray(im1))
+    assert d.shape == (2, 64, 96, 1)
+    np.testing.assert_allclose(np.asarray(d), 0.0, atol=1e-6)
+
+
+def test_torch_oracle_parity():
+    """Converted torchvision vgg16 weights reproduce the reference slice
+    computation (torch replica of `PercepNet.py:38-64`, random weights)."""
+    torch = pytest.importorskip("torch")
+    torchvision = pytest.importorskip("torchvision")
+    import torch.nn.functional as F
+
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.convert_torch_weights import convert_vgg16_percep
+
+    vgg = torchvision.models.vgg16(weights=None).features.eval()
+    im1, im2 = _imgs(seed=3)
+
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+
+    def torch_percep(a, b):
+        im = torch.cat([a, b], 0)
+        im = (im - mean) / std
+        im = F.interpolate(im, mode="bilinear", size=(224, 224),
+                           align_corners=False)
+        feats, f = [], im
+        for end in (4, 9, 16):
+            start = 0 if not feats else (4, 9)[len(feats) - 1]
+            for li in range(start, end):
+                f = vgg[li](f)
+            feats.append(torch.chunk(f, 2, dim=0))
+        h, w = feats[0][0].shape[-2:]
+        out = 0
+        for wgt, (f1, f2) in zip((0.15, 0.25, 0.6), feats):
+            d = wgt * torch.abs(f1 - f2).mean(1, True)
+            out = out + F.interpolate(d, mode="bilinear", size=(h, w),
+                                      align_corners=False)
+        return out
+
+    with torch.no_grad():
+        ref = torch_percep(
+            torch.from_numpy(im1).permute(0, 3, 1, 2),
+            torch.from_numpy(im2).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+
+    net = PercepNet()
+    variables = convert_vgg16_percep(
+        {k: v.numpy() for k, v in vgg.state_dict().items()})
+    ours = net.apply(variables, jnp.asarray(im1), jnp.asarray(im2))
+    np.testing.assert_allclose(np.asarray(ours), ref.numpy(),
+                               rtol=2e-3, atol=2e-4)
+
+
+def test_percep_loss_wiring():
+    """percep_loss_weight > 0 adds a finite percep term to the
+    self-supervised loss and leaves the base terms unchanged."""
+    from dro_sfm_tpu.models.sfm import SfmModelConfig, make_percep_fn
+    from dro_sfm_tpu.losses.photometric import (
+        PhotometricLossConfig, multiview_photometric_loss)
+
+    rng = np.random.default_rng(0)
+    b, n, p, h, w = 2, 2, 3, 32, 48
+    image = jnp.asarray(rng.uniform(size=(b, h, w, 3)), jnp.float32)
+    context = jnp.asarray(rng.uniform(size=(b, n, h, w, 3)), jnp.float32)
+    inv_depths = jnp.asarray(rng.uniform(0.1, 0.5, size=(p, b, h, w, 1)),
+                             jnp.float32)
+    K = jnp.broadcast_to(jnp.asarray(
+        [[40.0, 0, 24], [0, 40, 16], [0, 0, 1]], jnp.float32), (b, 3, 3))
+    pose_vecs = jnp.asarray(
+        rng.normal(scale=0.01, size=(b, n, p, 6)), jnp.float32)
+
+    base_cfg = PhotometricLossConfig()
+    cfg = SfmModelConfig(name="SelfSupModelMF",
+                         photometric=PhotometricLossConfig(
+                             percep_loss_weight=0.5))
+    percep_fn = make_percep_fn(cfg)
+    assert percep_fn is not None
+
+    loss0, m0 = multiview_photometric_loss(
+        image, context, inv_depths, K, pose_vecs, base_cfg)
+    loss1, m1 = multiview_photometric_loss(
+        image, context, inv_depths, K, pose_vecs, cfg.photometric_cfg,
+        percep_fn=percep_fn)
+    assert "percep_loss" in m1 and "percep_loss" not in m0
+    assert np.isfinite(float(m1["percep_loss"]))
+    assert float(m1["percep_loss"]) > 0.0
+    np.testing.assert_allclose(
+        float(loss1) - float(m1["percep_loss"]), float(loss0), rtol=1e-5)
+
+    # Off by weight or by supervised-only model -> no percep net built.
+    assert make_percep_fn(SfmModelConfig(name="SelfSupModelMF")) is None
+    assert make_percep_fn(SfmModelConfig(
+        name="SupModelMF",
+        photometric=PhotometricLossConfig(percep_loss_weight=0.5))) is None
+
+
+def test_percep_config_reaches_model_config():
+    from dro_sfm_tpu.training.trainer import model_config_from
+    from dro_sfm_tpu.utils.config import load_config
+
+    cfg = load_config(overrides={
+        "model": {"name": "SelfSupModelMF",
+                  "loss": {"percep_loss_weight": 0.3},
+                  "percep_net": {"checkpoint_path": "/tmp/vgg.msgpack"}}})
+    mc = model_config_from(cfg)
+    assert mc.photometric.percep_loss_weight == 0.3
+    assert mc.percep_pretrained == "/tmp/vgg.msgpack"

@@ -214,3 +214,27 @@ def test_single_frame_trainer_epoch(tmp_path):
     assert np.isfinite(metrics["avg_train-loss"])
     assert np.isfinite(metrics["abs_rel_pp_gt"])
     assert len(list((tmp_path / "ckpt").glob("*.ckpt"))) == 1
+
+
+def test_overfit_kitti_config_through_cli(tmp_path):
+    """The reference's de-facto integration test is overfit_kitti via the
+    train CLI; this drives configs/overfit_kitti.yaml against the on-disk
+    KITTI fixture tree end to end (reader -> trainer -> ckpt)."""
+    from tests.test_datasets import build_kitti_tree
+    from dro_sfm_tpu.training.trainer import Trainer
+
+    root = build_kitti_tree(tmp_path)
+    cfg = load_config("configs/overfit_kitti.yaml", overrides={
+        "arch": {"max_epochs": 1},
+        "checkpoint": {"filepath": str(tmp_path / "ckpt")},
+        "model": {"depth_net": {"version": "it4-h-out-seq2"}},
+        "datasets": {
+            "train": {"path": [root], "repeat": [1]},
+            "validation": {"path": [root]},
+        },
+    })
+    trainer = Trainer(cfg)
+    metrics = trainer.fit()
+    assert np.isfinite(float(metrics["avg_train-loss"]))
+    import os
+    assert any(f.endswith(".ckpt") for f in os.listdir(tmp_path / "ckpt"))

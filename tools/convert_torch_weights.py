@@ -82,6 +82,20 @@ def convert_resnet18_encoder(state_dict: dict, num_input_images: int = 1,
     return {"params": params, "batch_stats": batch_stats}
 
 
+def convert_vgg16_percep(state_dict: dict) -> dict:
+    """torchvision vgg16 -> flax params for `dro_sfm_tpu.models.percep.
+    PercepNet` (first three conv stages, `PercepNet.py:13-22`): torchvision
+    `features.{0,2,5,7,10,12,14}` conv layers map onto conv0..conv6."""
+    sd = {k: np.asarray(v) for k, v in state_dict.items()}
+    params = {}
+    for i, idx in enumerate((0, 2, 5, 7, 10, 12, 14)):
+        params[f"conv{i}"] = {
+            "kernel": conv_w(sd[f"features.{idx}.weight"]),
+            "bias": sd[f"features.{idx}.bias"],
+        }
+    return {"params": params}
+
+
 # Torch module name -> our flax path for the DRO DepthPoseNet. The FPN head
 # and heads share names; GRU cells live under the scan modules.
 _DRO_ENCODER_HEADS = {
@@ -193,6 +207,8 @@ def main():
                   for k, v in state_dict.items()}
     if kind == "resnet18":
         tree = convert_resnet18_encoder(state_dict)
+    elif kind == "vgg16":
+        tree = convert_vgg16_percep(state_dict)
     elif kind == "dro-ckpt":
         tree = convert_dro_checkpoint(state_dict)
     else:

@@ -49,7 +49,7 @@ def make_batch(b, n, h, w):
 
 
 def time_variant(name, batch, b, n_steps, *, mixed_precision, warp_impl,
-                 remat):
+                 remat, version="it12-h-out", scan_unroll="none"):
     import jax
 
     from dro_sfm_tpu.models.sfm import SfmModelConfig
@@ -58,9 +58,9 @@ def time_variant(name, batch, b, n_steps, *, mixed_precision, warp_impl,
     from dro_sfm_tpu.utils.config import load_config
 
     model_cfg = SfmModelConfig(
-        name="SupModelMF", version="it12-h-out", min_depth=0.2,
+        name="SupModelMF", version=version, min_depth=0.2,
         max_depth=80.0, flip_lr_prob=0.5, mixed_precision=mixed_precision,
-        warp_impl=warp_impl, remat=remat)
+        warp_impl=warp_impl, remat=remat, scan_unroll=scan_unroll)
     net = model_cfg.build_net()
     cfg = load_config()
     tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
@@ -87,9 +87,9 @@ def time_variant(name, batch, b, n_steps, *, mixed_precision, warp_impl,
     loss = float(metrics["loss"])
 
     rec = {
-        "variant": name, "batch": b,
+        "variant": name, "batch": b, "version": version,
         "mixed_precision": mixed_precision, "warp_impl": warp_impl,
-        "remat": remat,
+        "remat": remat, "scan_unroll": scan_unroll,
         "step_ms": round(dt / n_steps * 1e3, 2),
         "frames_per_sec": round(b * n_steps / dt, 2),
         "compile_s": round(compile_s, 1),
@@ -101,13 +101,36 @@ def time_variant(name, batch, b, n_steps, *, mixed_precision, warp_impl,
 
 
 VARIANTS = [
-    # (name, mixed_precision, warp_impl, remat)
-    ("fp32-gather-remat", False, "gather", True),     # round-1 default
-    ("fp32-gather", False, "gather", False),
-    ("bf16-gather", True, "gather", False),
-    ("bf16-matmul", True, "matmul", False),
-    ("bf16-gather-remat", True, "gather", True),
-    ("fp32-matmul", False, "matmul", False),
+    # name -> overrides of time_variant kwargs (+ optional "batch")
+    ("fp32-gather-remat", dict(mixed_precision=False, remat=True)),
+    ("fp32-gather", dict(mixed_precision=False)),
+    ("bf16-gather", dict()),
+    ("bf16-matmul", dict(warp_impl="matmul")),
+    ("bf16-gather-remat", dict(remat=True)),
+    ("fp32-matmul", dict(mixed_precision=False, warp_impl="matmul")),
+    # decomposition sweep: refinement-iteration count and batch scaling
+    ("bf16-it0", dict(version="it0-h-out")),
+    ("bf16-it4", dict(version="it4-h-out")),
+    ("bf16-it8", dict(version="it8-h-out")),
+    ("bf16-b8", dict(batch=8)),
+    ("bf16-b16-remat", dict(batch=16, remat=True)),
+    ("bf16-b8-remat", dict(batch=8, remat=True)),
+    # scan unrolling: cross-step fusion in the refinement loop
+    ("bf16-unroll-inner", dict(scan_unroll="inner")),
+    ("bf16-unroll-full", dict(scan_unroll="full")),
+    ("bf16-b16-unroll-full", dict(batch=16, scan_unroll="full")),
+    ("bf16-b8-unroll-full", dict(batch=8, scan_unroll="full")),
+    ("bf16-unroll-full-matmul", dict(scan_unroll="full", warp_impl="matmul")),
+    ("bf16-unroll-full-pallas", dict(scan_unroll="full", warp_impl="pallas")),
+    ("fp32-unroll-full", dict(mixed_precision=False, scan_unroll="full")),
+    ("bf16-b8-unroll-full-matmul", dict(batch=8, scan_unroll="full",
+                                        warp_impl="matmul")),
+    ("bf16-b8-unroll-inner-matmul", dict(batch=8, scan_unroll="inner",
+                                         warp_impl="matmul")),
+    ("bf16-b8-unroll-full-pallas", dict(batch=8, scan_unroll="full",
+                                        warp_impl="pallas")),
+    ("bf16-b16-unroll-full-matmul", dict(batch=16, scan_unroll="full",
+                                         warp_impl="matmul")),
 ]
 
 
@@ -121,18 +144,22 @@ def main():
                     help="comma-separated variant names to run")
     args = ap.parse_args()
 
-    b, n, h, w = args.batch, args.views, 192, 640
-    batch = make_batch(b, n, h, w)
+    n, h, w = args.views, 192, 640
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
 
     only = set(filter(None, args.only.split(",")))
-    for name, mp, warp, remat in VARIANTS:
+    batches = {}
+    defaults = dict(mixed_precision=True, warp_impl="gather", remat=False,
+                    version="it12-h-out", scan_unroll="none")
+    for name, overrides in VARIANTS:
         if only and name not in only:
             continue
+        kw = {**defaults, **overrides}
+        b = kw.pop("batch", None) or args.batch
+        if b not in batches:
+            batches[b] = make_batch(b, n, h, w)
         try:
-            rec = time_variant(name, batch, b, args.steps,
-                               mixed_precision=mp, warp_impl=warp,
-                               remat=remat)
+            rec = time_variant(name, batches[b], b, args.steps, **kw)
         except Exception as e:  # OOM etc. — record and continue
             rec = {"variant": name, "batch": b, "error": repr(e)[:300]}
         line = json.dumps(rec)
