@@ -21,6 +21,13 @@ import time
 import numpy as np
 
 PEAK_BF16_TFLOPS = 197.0  # TPU v5e per-chip peak
+PEAK_HBM_GBPS = 819.0     # TPU v5e per-chip HBM bandwidth
+
+# Static cost of the flagship train step from CPU-side XLA lowering
+# (tools/perf_flops.py, b8 bf16): fallback when the axon backend's live
+# cost_analysis is unavailable. Per-frame so it scales with batch.
+FALLBACK_TFLOPS_PER_FRAME = 1.975 / 8
+FALLBACK_GB_PER_FRAME = 51.85 / 8
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -92,15 +99,21 @@ def main():
 
     # Static FLOPs of the step from XLA cost analysis (host-side lowering;
     # does not retrigger the remote TPU compile).
+    gbytes = 0.0
     try:
         cost = train_step.lower(state, batch, step_rng).cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         tflops = float(cost.get("flops", 0.0)) / 1e12
+        gbytes = float(cost.get("bytes accessed", 0.0)) / 1e9
     except Exception:
         tflops = 0.0
-    achieved = tflops / (step_ms * 1e-3) if tflops else 0.0
-    mfu = achieved / PEAK_BF16_TFLOPS if achieved else 0.0
+    if not tflops:
+        tflops = FALLBACK_TFLOPS_PER_FRAME * b
+        gbytes = FALLBACK_GB_PER_FRAME * b
+    achieved = tflops / (step_ms * 1e-3)
+    mfu = achieved / PEAK_BF16_TFLOPS
+    hbm_util = (gbytes / (step_ms * 1e-3)) / PEAK_HBM_GBPS if gbytes else 0.0
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
@@ -121,6 +134,7 @@ def main():
         "step_tflops": round(tflops, 3),
         "achieved_tflops_per_s": round(achieved, 2),
         "mfu_vs_bf16_peak": round(mfu, 4),
+        "hbm_bw_utilization": round(hbm_util, 4),
     }))
 
 

@@ -74,12 +74,23 @@ def maybe_init_distributed() -> None:
     are absent or initialization already happened.
     """
     import os
-    if jax.process_count() > 1:
+    # Must not touch the XLA backend before initialize() — even
+    # jax.process_count() would finalize a single-process backend.
+    if jax.distributed.is_initialized():
         return
-    if os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
-            "COORDINATOR_ADDRESS"):
+    coord = os.environ.get("JAX_COORDINATOR_ADDRESS") or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    if coord:
+        # Explicit env layout (scripts/launch_multihost.py / generic
+        # clusters); jax's own auto-detection (Slurm, TPU pods) covers the
+        # rest when these are unset.
+        kwargs = {"coordinator_address": coord}
+        if os.environ.get("JAX_NUM_PROCESSES"):
+            kwargs["num_processes"] = int(os.environ["JAX_NUM_PROCESSES"])
+        if os.environ.get("JAX_PROCESS_ID"):
+            kwargs["process_id"] = int(os.environ["JAX_PROCESS_ID"])
         try:
-            jax.distributed.initialize()
+            jax.distributed.initialize(**kwargs)
         except Exception as e:  # already initialized or single-host
             print(f"jax.distributed.initialize skipped: {e}")
 

@@ -107,3 +107,23 @@ def test_gt_pose_loading_and_obj(tmp_path):
     lines = open(obj).read().splitlines()
     assert sum(ln.startswith("v ") for ln in lines) == 5
     assert any(ln.startswith("f ") for ln in lines)
+
+
+def test_images_to_gif(tmp_path):
+    from dro_sfm_tpu.visualization.gif import images_to_gif
+    rng = np.random.default_rng(0)
+    frames = [rng.uniform(size=(32, 48, 3)) for _ in range(4)]
+    out = tmp_path / "seq.gif"
+    n = images_to_gif(frames, str(out), fps=5,
+                      labels=[f"frame {i}" for i in range(4)], scale=0.5)
+    assert n == 4
+    from PIL import Image
+    img = Image.open(out)
+    assert img.n_frames == 4 and img.size == (24, 16)
+
+    # Directory-of-pngs input path (the reference's main mode).
+    d = tmp_path / "pngs"
+    d.mkdir()
+    for i, f in enumerate(frames):
+        Image.fromarray((f * 255).astype(np.uint8)).save(d / f"{i}.png")
+    assert images_to_gif(str(d), str(tmp_path / "seq2.gif")) == 4

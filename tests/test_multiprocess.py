@@ -51,3 +51,27 @@ def test_two_process_train_step_and_metric_reduce():
     vals = [re.search(r"loss=([\d.eE+-]+) p0=([\d.eE+-]+)", o).groups()
             for o in outs]
     assert vals[0] == vals[1], vals
+
+
+def test_launch_multihost_wires_maybe_init_distributed(tmp_path):
+    """The launcher's env layout must be consumed by
+    `maybe_init_distributed` (scripts/launch_multihost.py)."""
+    probe = tmp_path / "probe.py"
+    probe.write_text(
+        "import sys, os\n"
+        f"sys.path.insert(0, {os.path.dirname(os.path.dirname(os.path.abspath(__file__)))!r})\n"
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from dro_sfm_tpu.parallel.mesh import maybe_init_distributed\n"
+        "maybe_init_distributed()\n"
+        "assert jax.process_count() == 2, jax.process_count()\n"
+        "print('LAUNCHOK', jax.process_index(), jax.device_count())\n")
+    res = subprocess.run(
+        [sys.executable,
+         os.path.join(os.path.dirname(os.path.dirname(
+             os.path.abspath(__file__))), "scripts", "launch_multihost.py"),
+         "--nprocs", "2", "--devices-per-proc", "1", "--", str(probe)],
+        capture_output=True, text=True, timeout=300)
+    assert res.returncode == 0, res.stdout + res.stderr
+    assert "LAUNCHOK 0 2" in res.stdout and "LAUNCHOK 1 2" in res.stdout, \
+        res.stdout + res.stderr

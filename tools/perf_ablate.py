@@ -131,6 +131,11 @@ VARIANTS = [
                                         warp_impl="pallas")),
     ("bf16-b16-unroll-full-matmul", dict(batch=16, scan_unroll="full",
                                          warp_impl="matmul")),
+    ("bf16-b8-unroll-full-pallas-remat", dict(batch=8, scan_unroll="full",
+                                              warp_impl="pallas",
+                                              remat=True)),
+    ("bf16-b12-unroll-full-pallas", dict(batch=12, scan_unroll="full",
+                                         warp_impl="pallas")),
 ]
 
 
