@@ -98,16 +98,72 @@ def load_checkpoint(path: str, state=None) -> Dict[str, Any]:
     return {"payload": raw, "meta": meta}
 
 
+def sync_checkpoint_dir(local_dir: str, remote_url: str) -> bool:
+    """Mirror the checkpoint directory to remote storage.
+
+    TPU-native counterpart of the reference's `aws s3 sync` shell-out
+    (`/root/reference/dro_sfm/models/model_checkpoint.py:12-21`), extended
+    with the bucket schemes that matter on GCP: dispatches on the URL —
+    ``gs://`` uses `gcloud storage rsync` (falling back to `gsutil`),
+    ``s3://`` uses `aws s3 sync`, and a plain/``file://`` path is mirrored
+    with shutil (the offline-testable mode). Returns success; failures
+    warn and never interrupt training.
+    """
+    import shutil
+    import subprocess
+    try:
+        if remote_url.startswith("gs://"):
+            for cmd in (["gcloud", "storage", "rsync", "-r"],
+                        ["gsutil", "-m", "rsync", "-r"]):
+                if shutil.which(cmd[0]):
+                    subprocess.run(cmd + [local_dir, remote_url],
+                                   check=True, timeout=600,
+                                   capture_output=True)
+                    return True
+            print(f"checkpoint sync skipped: no gcloud/gsutil for "
+                  f"{remote_url}")
+            return False
+        if remote_url.startswith("s3://"):
+            if shutil.which("aws"):
+                subprocess.run(
+                    ["aws", "s3", "sync", local_dir, remote_url,
+                     "--acl", "bucket-owner-full-control", "--quiet"],
+                    check=True, timeout=600, capture_output=True)
+                return True
+            print(f"checkpoint sync skipped: no aws CLI for {remote_url}")
+            return False
+        dest = remote_url[len("file://"):] if \
+            remote_url.startswith("file://") else remote_url
+        os.makedirs(dest, exist_ok=True)
+        for name in os.listdir(local_dir):
+            src = os.path.join(local_dir, name)
+            if os.path.isfile(src):
+                shutil.copy2(src, os.path.join(dest, name))
+        # --delete semantics: drop remote files that vanished locally
+        # (pruned stale checkpoints).
+        for name in os.listdir(dest):
+            if not os.path.exists(os.path.join(local_dir, name)):
+                os.remove(os.path.join(dest, name))
+        return True
+    except Exception as e:
+        print(f"checkpoint sync to {remote_url} failed: {e}")
+        return False
+
+
 class CheckpointManager:
     """Keep the best ``save_top_k`` checkpoints of a monitored metric.
 
     mode='auto' infers direction from the name: metrics containing a1/a2/a3
     increase, error metrics decrease (`model_checkpoint.py:97-121`).
+
+    ``sync_url``/``sync_frequency`` mirror the directory to remote storage
+    every N epochs (`model_checkpoint.py:59-95` s3_path/s3_frequency).
     """
 
     def __init__(self, dirpath: str, monitor: str = "abs_rel_pp_gt",
                  save_top_k: int = 5, mode: str = "auto",
-                 save_code: bool = True):
+                 save_code: bool = True, sync_url: str = "",
+                 sync_frequency: int = 1):
         self.dirpath = dirpath
         self.monitor = monitor
         self.save_top_k = save_top_k
@@ -115,6 +171,8 @@ class CheckpointManager:
             mode = "max" if re.search(r"\ba[123]\b|a1|a2|a3", monitor) else "min"
         self.mode = mode
         self.saved: list[tuple[float, str]] = []
+        self.sync_url = sync_url
+        self.sync_frequency = sync_frequency
         os.makedirs(dirpath, exist_ok=True)
         if save_code:
             self._snapshot_code()
@@ -160,4 +218,7 @@ class CheckpointManager:
             for p in (stale, stale + ".json"):
                 if os.path.exists(p):
                     os.remove(p)
+        if self.sync_url and self.sync_frequency > 0 and \
+                (epoch + 1) % self.sync_frequency == 0:
+            sync_checkpoint_dir(self.dirpath, self.sync_url)
         return path

@@ -156,7 +156,10 @@ class Trainer:
 
         self.checkpointer = CheckpointManager(
             cfg.checkpoint.filepath, monitor=cfg.checkpoint.monitor,
-            save_top_k=cfg.checkpoint.save_top_k, mode=cfg.checkpoint.mode)
+            save_top_k=cfg.checkpoint.save_top_k, mode=cfg.checkpoint.mode,
+            sync_url=cfg.checkpoint.get("s3_url", "")
+            or cfg.checkpoint.get("s3_path", ""),
+            sync_frequency=int(cfg.checkpoint.get("s3_frequency", 1)))
         self.metric_keys = ALL_METRIC_NAMES
         from dro_sfm_tpu.loggers import make_logger
         self.logger = (make_logger(cfg.wandb, cfg.name) if is_rank0()

@@ -148,3 +148,23 @@ def test_ingest_capture_filter_and_preview(tmp_path):
     assert os.path.exists(video) and os.path.getsize(video) > 0
     # pose txts written
     assert len(os.listdir(cap / "pose")) == 8
+
+
+def test_ingest_capture_gazebo_preset(tmp_path):
+    cap, traj = _write_capture(tmp_path, n=3, jump_at=99)
+    split = tmp_path / "split.txt"
+    res = subprocess.run(
+        [sys.executable, os.path.join(REPO, "tools", "ingest_capture.py"),
+         "--capture", str(cap), "--trajectory", str(traj),
+         "--scene", "cap01", "--split-out", str(split),
+         "--preset", "gazebo"],
+        capture_output=True, text=True, env={**os.environ,
+                                             "JAX_PLATFORMS": "cpu"})
+    assert res.returncode == 0, res.stdout + res.stderr
+    K = np.genfromtxt(cap / "intrinsics.txt")
+    assert abs(K[0, 0] - 530.4669406576809) < 1e-9
+    # Identity-rotation trajectory -> camera pose translated by the
+    # cam->GT chain ([-0.076, 0, -0.093] total).
+    T0 = np.genfromtxt(cap / "pose" / os.listdir(cap / "pose")[0])
+    np.testing.assert_allclose(T0[:3, :3], np.eye(3), atol=1e-12)
+    assert abs(T0[1, 3]) < 1e-9 and abs((T0[2, 3]) - (-0.093)) < 1e-9

@@ -85,3 +85,52 @@ def test_misc_helpers():
     assert make_list(3, 2) == [3, 3]
     assert make_list([1, 2]) == [1, 2]
     assert same_shape((1, 2), (1, 2)) and not same_shape((1,), (1, 2))
+
+
+def test_checkpoint_sync_file_mirror(tmp_path):
+    """file:// sync mirrors saves and prunes (reference aws-s3-sync
+    semantics, `model_checkpoint.py:12-21`)."""
+    import numpy as np
+    from dro_sfm_tpu.training.checkpoint import (
+        CheckpointManager, sync_checkpoint_dir)
+
+    local = tmp_path / "ckpts"
+    remote = tmp_path / "bucket"
+    mgr = CheckpointManager(str(local), monitor="abs_rel", save_top_k=1,
+                            save_code=False,
+                            sync_url=f"file://{remote}", sync_frequency=2)
+
+    class FakeState:
+        params = {"w": np.zeros(2)}
+        batch_stats = {}
+        opt_state = ()
+        step = 0
+
+    import dro_sfm_tpu.training.checkpoint as ckpt_mod
+    saved_paths = []
+
+    def fake_save(path, state, epoch, config=None):
+        with open(path, "w") as f:
+            f.write("x")
+        saved_paths.append(path)
+
+    orig = ckpt_mod.save_checkpoint
+    ckpt_mod.save_checkpoint = fake_save
+    try:
+        mgr.check_and_save(FakeState(), 0, {"abs_rel": 0.5})
+        assert not remote.exists() or not list(remote.iterdir())  # epoch 0: no sync (freq 2)
+        mgr.check_and_save(FakeState(), 1, {"abs_rel": 0.4})      # epoch 1: sync
+        names = {p.name for p in remote.iterdir()}
+        # top-k=1 pruned the 0.5 checkpoint locally; remote mirrors that.
+        assert any("0.400" in n for n in names)
+        assert not any("0.500" in n for n in names)
+    finally:
+        ckpt_mod.save_checkpoint = orig
+
+    # Direct call also handles plain paths and deletion.
+    (local / "extra.txt").write_text("y")
+    assert sync_checkpoint_dir(str(local), str(remote))
+    assert (remote / "extra.txt").exists()
+    (local / "extra.txt").unlink()
+    assert sync_checkpoint_dir(str(local), str(remote))
+    assert not (remote / "extra.txt").exists()

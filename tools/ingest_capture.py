@@ -64,6 +64,36 @@ def load_trajectory(path: str) -> np.ndarray:
     return np.asarray(rows)
 
 
+# Gazebo RoboMaker sim-capture constants
+# (`/root/reference/dro_sfm/visualization/gazebo_config.py:30-175`):
+# camera intrinsics and the body-frame chain camera -> IMU -> GT tracker.
+GAZEBO_INTRINSICS = np.array([
+    [530.4669406576809, 0.0, 320.5],
+    [0.0, 530.4669406576809, 240.5],
+    [0.0, 0.0, 1.0]])
+
+
+def _translation_T(x, y, z):
+    T = np.eye(4)
+    T[:3, 3] = [x, y, z]
+    return T
+
+
+GAZEBO_CAM2GT = _translation_T(0, 0, -0.068) @ _translation_T(-0.076, 0, -0.025)
+# Axis remap between the camera optical frame and the gazebo world frame.
+GAZEBO_CAM2WORLD = np.array([
+    [0.0, 0.0, -1.0, 0.0],
+    [1.0, 0.0, 0.0, 0.0],
+    [0.0, -1.0, 0.0, 0.0],
+    [0.0, 0.0, 0.0, 1.0]])
+
+PRESETS = {
+    # preset -> (intrinsics or None, pose transform applied as T @ cam2gt)
+    "none": (None, None),
+    "gazebo": (GAZEBO_INTRINSICS, GAZEBO_CAM2GT),
+}
+
+
 def census(capture: str, frames, kept, poses) -> dict:
     """Data-consistency counts (`config_dataset.py:189-221` check_data)."""
     from dro_sfm_tpu.data.depth_filter import is_invalid_pose
@@ -159,7 +189,13 @@ def main():
                    help="with --filter: drop kept segments shorter than this")
     p.add_argument("--preview-video", default="",
                    help="write an rgb|depth inspection mp4 here")
+    p.add_argument("--preset", choices=sorted(PRESETS), default="none",
+                   help="capture rig preset: 'gazebo' writes the RoboMaker "
+                        "sim intrinsics and applies the camera->GT-tracker "
+                        "extrinsic chain to trajectory poses")
     args = p.parse_args()
+
+    preset_K, preset_T = PRESETS[args.preset]
 
     traj = load_trajectory(args.trajectory)
     ts = traj[:, 0]
@@ -182,9 +218,14 @@ def main():
         T = np.eye(4)
         T[:3, :3] = quat_to_matrix(qx, qy, qz, qw)
         T[:3, 3] = [px, py, pz]
+        if preset_T is not None:
+            T = T @ preset_T  # tracker pose -> camera pose
         np.savetxt(os.path.join(pose_dir, fname.replace(".jpg", ".txt")), T)
         kept.append(fname)
         kept_poses.append(T)
+
+    if preset_K is not None:
+        np.savetxt(os.path.join(args.capture, "intrinsics.txt"), preset_K)
 
     if args.check:
         census(args.capture, frames, kept, kept_poses)
