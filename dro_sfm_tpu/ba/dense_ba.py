@@ -221,7 +221,10 @@ def make_sharded_accumulate(mesh, stride: int):
     self-edges if needed).
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
-    from jax.experimental.shard_map import shard_map
+    try:
+        from jax import shard_map  # jax >= 0.8
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
 
     def local(poses, depths, K, edges_i, edges_j):
         problem = BAProblem(poses, depths, K, edges_i, edges_j)

@@ -50,7 +50,7 @@ def setup_dataset(section, augmentation, mode: str) -> Dataset:
     # full reader set lands.
     import importlib
     for mod in ("kitti", "scannet", "demon", "demon_mf", "matterport", "nyu",
-                "video", "extra"):
+                "video", "extra", "dgp"):
         try:
             importlib.import_module(f"dro_sfm_tpu.data.{mod}")
         except ImportError:

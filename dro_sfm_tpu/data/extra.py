@@ -9,8 +9,8 @@
   `tools/generate_splits.py`), not at load time.
 * `ScannetTestMF` maps to the same reader (in the reference this name is a
   dead branch importing a nonexistent module, `model_wrapper.py:718-724`).
-* `DGP`: the TRI proprietary-format reader requires the external `dgp`
-  package (`dgp_dataset.py:57-273`); registered as an informative stub.
+* `DGP` lives in `dro_sfm_tpu.data.dgp` — a self-contained parser of the
+  public DGP JSON scene format (no external `dgp` package needed).
 """
 from __future__ import annotations
 
@@ -32,14 +32,3 @@ register_dataset("MatterportBA")(_tuple_factory)
 register_dataset("ScannetTestMF")(_tuple_factory)
 
 
-@register_dataset("DGP")
-def _dgp_factory(path, split, mode, image_shape, jittering, section):
-    try:
-        import dgp  # noqa: F401
-    except ImportError as e:
-        raise ImportError(
-            "The 'DGP' dataset requires TRI's external `dgp` package "
-            "(https://github.com/TRI-ML/dgp), which is not installed. "
-            "Use one of the built-in datasets instead.") from e
-    raise NotImplementedError(
-        "DGP reader: install `dgp` and contribute the adapter.")

@@ -30,6 +30,10 @@ def main():
     ap.add_argument("--views", type=int, default=2)
     ap.add_argument("--mixed-precision", action="store_true")
     ap.add_argument("--remat", action="store_true")
+    ap.add_argument("--scan-unroll", default="none",
+                    choices=["none", "inner", "full"])
+    ap.add_argument("--warp-impl", default="gather",
+                    choices=["gather", "matmul", "pallas"])
     args = ap.parse_args()
 
     import jax
@@ -47,7 +51,8 @@ def main():
     model_cfg = SfmModelConfig(
         name="SupModelMF", version="it12-h-out", min_depth=0.2, max_depth=80.0,
         flip_lr_prob=0.0, mixed_precision=args.mixed_precision,
-        remat=args.remat)
+        remat=args.remat, scan_unroll=args.scan_unroll,
+        warp_impl=args.warp_impl)
     net = model_cfg.build_net()
     cfg = load_config()
     tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 1000)
