@@ -22,7 +22,7 @@ RUN pip install --no-cache-dir \
         "jax[tpu]" -f https://storage.googleapis.com/jax-releases/libtpu_releases.html \
     && pip install --no-cache-dir \
         flax optax chex einops numpy opencv-python-headless pillow pyyaml \
-        pytest wandb
+        matplotlib h5py pytest wandb
 
 WORKDIR /workspace/dro-sfm-tpu
 COPY . .

@@ -108,7 +108,9 @@ def main():
         gbytes = float(cost.get("bytes accessed", 0.0)) / 1e9
     except Exception:
         tflops = 0.0
-    if not tflops:
+    # The axon backend's live cost_analysis reports flops=-1 ("unknown");
+    # treat any non-positive value as missing so the fallback fires.
+    if tflops <= 0.0:
         tflops = FALLBACK_TFLOPS_PER_FRAME * b
         gbytes = FALLBACK_GB_PER_FRAME * b
     achieved = tflops / (step_ms * 1e-3)

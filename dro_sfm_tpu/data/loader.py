@@ -128,8 +128,13 @@ class DataLoader:
         return padded[sl], genuine[sl]
 
     def __len__(self) -> int:
-        n = len(self._epoch_indices())
-        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+        # Shard length is epoch-independent: ceil(n / num_shards) samples per
+        # shard (no need to materialize the O(n) epoch permutation — __len__
+        # runs on every progress line).
+        per_shard = -(-len(self.dataset) // self.num_shards)
+        if self.drop_last:
+            return per_shard // self.batch_size
+        return -(-per_shard // self.batch_size)
 
     def __iter__(self) -> Iterator[Dict[str, np.ndarray]]:
         indices, genuine = self._epoch_indices_and_validity()

@@ -98,12 +98,17 @@ def _photometric_residual(est: jnp.ndarray, ref: jnp.ndarray,
 
 
 def smoothness_loss(inv_depths: jnp.ndarray, image: jnp.ndarray,
-                    cfg: PhotometricLossConfig) -> jnp.ndarray:
+                    cfg: PhotometricLossConfig,
+                    mask=None) -> jnp.ndarray:
     """Edge-aware smoothness with mean-normalized inverse depth.
 
     Parity: `calc_smoothness_loss` (`:273-299`) + `calc_smoothness` /
     `inv_depths_normalize` (`utils/depth.py:147-199`). Prediction p carries
-    a 1/2^p factor.
+    a 1/2^p factor. ``mask`` [P] (optional) drops predictions excluded by
+    progressive scaling — the reference truncates the prediction list
+    before the *whole* loss (`loss_base.py:40-77`), so the smoothness term
+    must honor the schedule too; masking with a matching denominator keeps
+    shapes static.
     """
     p = inv_depths.shape[0]
     mean_inv = inv_depths.mean(axis=(-3, -2, -1), keepdims=True)
@@ -115,7 +120,10 @@ def smoothness_loss(inv_depths: jnp.ndarray, image: jnp.ndarray,
     sx = (dx * wx[None]).mean(axis=tuple(range(1, dx.ndim)))  # [P]
     sy = (dy * wy[None]).mean(axis=tuple(range(1, dy.ndim)))
     scale = 2.0 ** jnp.arange(p, dtype=inv_depths.dtype)
-    return ((sx + sy) / scale).sum() / p
+    per_pred = (sx + sy) / scale
+    if mask is None:
+        return per_pred.sum() / p
+    return (per_pred * mask).sum() / jnp.maximum(mask.sum(), 1.0)
 
 
 def multiview_photometric_loss(
@@ -156,8 +164,9 @@ def multiview_photometric_loss(
         raise ValueError(cfg.photometric_reduce_op)
 
     gamma_w = cfg.gamma ** jnp.arange(p - 1, -1, -1, dtype=inv_depths.dtype)
-    gamma_w = gamma_w * progressive_scale_mask(
+    prog_mask = progressive_scale_mask(
         p, cfg.progressive_scaling, progress, inv_depths.dtype)
+    gamma_w = gamma_w * prog_mask
     photometric = (per_pred * gamma_w).sum()
     if cfg.normalize_weights:
         photometric = photometric / gamma_w.sum()
@@ -165,7 +174,8 @@ def multiview_photometric_loss(
     metrics = {"photometric_loss": photometric}
     loss = photometric
     if cfg.smooth_loss_weight > 0.0:
-        smooth = cfg.smooth_loss_weight * smoothness_loss(inv_depths, image, cfg)
+        smooth = cfg.smooth_loss_weight * smoothness_loss(
+            inv_depths, image, cfg, mask=prog_mask)
         metrics["smoothness_loss"] = smooth
         loss = loss + smooth
     if cfg.percep_loss_weight > 0.0 and percep_fn is not None:

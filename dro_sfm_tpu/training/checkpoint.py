@@ -206,19 +206,25 @@ class CheckpointManager:
         """Save if the monitored metric improved; prune stale checkpoints.
         Returns the saved path or None."""
         value = float(metrics.get(self.monitor, np.nan))
-        if np.isnan(value) or not self._improved(value):
-            return None
-        fname = f"epoch={epoch:02d}_{self.monitor}={value:.3f}.ckpt"
-        path = os.path.join(self.dirpath, fname)
-        save_checkpoint(path, state, epoch, config)
-        self.saved.append((value, path))
-        self.saved.sort(reverse=(self.mode == "max"))
-        while len(self.saved) > self.save_top_k:
-            _, stale = self.saved.pop()
-            for p in (stale, stale + ".json"):
-                if os.path.exists(p):
-                    os.remove(p)
+        path = None
+        if not np.isnan(value) and self._improved(value):
+            fname = f"epoch={epoch:02d}_{self.monitor}={value:.3f}.ckpt"
+            path = os.path.join(self.dirpath, fname)
+            save_checkpoint(path, state, epoch, config)
+            self.saved.append((value, path))
+            self.saved.sort(reverse=(self.mode == "max"))
+            while len(self.saved) > self.save_top_k:
+                _, stale = self.saved.pop()
+                for p in (stale, stale + ".json"):
+                    if os.path.exists(p):
+                        os.remove(p)
+            self._sync_pending = True
+        # Sync on the epoch schedule whenever anything changed since the
+        # last sync — NOT only on epochs that also saved, otherwise saves
+        # landing off-schedule never reach the mirror.
         if self.sync_url and self.sync_frequency > 0 and \
+                getattr(self, "_sync_pending", False) and \
                 (epoch + 1) % self.sync_frequency == 0:
             sync_checkpoint_dir(self.dirpath, self.sync_url)
+            self._sync_pending = False
         return path

@@ -114,9 +114,15 @@ class Trainer:
         steps_per_epoch = max(1, len(self.train_loader))
         self.tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
                                  steps_per_epoch)
-        # depth-group schedule, re-evaluated for logger lr reporting
+        # per-group schedules, re-evaluated for logger lr reporting (the
+        # pose group only differs for single-frame models with a separate
+        # pose_net, `model_wrapper.py:160-209`)
         self._lr_fn = group_schedule(cfg.model.optimizer.depth,
                                      cfg.model.scheduler, steps_per_epoch)
+        self._pose_lr_fn = (
+            group_schedule(cfg.model.optimizer.pose, cfg.model.scheduler,
+                           steps_per_epoch)
+            if self.model_cfg.single_frame else None)
         sample = self._sample_batch()
         init_rng, self.rng = jax.random.split(self.rng)
         init_vars = initialize_variables(self.net, init_rng, sample)
@@ -207,10 +213,14 @@ class Trainer:
                         # just stdout (ref `model_wrapper.py:229-247`
                         # logs 'loss'/'learning rate' every training step).
                         step_no = int(self.state.step)
-                        self.logger.log_metrics({
+                        step_metrics = {
                             "train-loss-step": last_loss,
                             "learning_rate": float(self._lr_fn(step_no)),
-                            "global_step": step_no})
+                            "global_step": step_no}
+                        if self._pose_lr_fn is not None:
+                            step_metrics["learning_rate_pose"] = float(
+                                self._pose_lr_fn(step_no))
+                        self.logger.log_metrics(step_metrics)
         dt = time.time() - t0
         return {"avg_train-loss": avg.get(),
                 "train_frames_per_sec": n_frames / max(dt, 1e-9)}

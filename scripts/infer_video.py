@@ -122,10 +122,25 @@ def main():
     accum = TrajectoryAccumulator()
     depth_list, pose_list = [], []
     all_points, all_colors = [], []
-    depths_out = []
-    # Per-frame panel snapshots (half-res) for the annotated composition.
+    # Full-res depths stream to a memmapped depths.npy (long sequences must
+    # not buffer O(frames) float32 maps in RAM); per-frame panel snapshots
+    # (half-res, for the post-BA annotated composition) spill to PNGs under
+    # <output>/panels/ for the same reason.
+    n_out = len(files) - 2
+    depths_out = None
     ph, pw = shape[0] // 2, shape[1] // 2
-    rgb_panels, depth_panels, mask_panels, gtd_panels = [], [], [], []
+    panels_dir = os.path.join(args.output, "panels")
+    os.makedirs(panels_dir, exist_ok=True)
+
+    def spill(kind, idx, img_rgb):
+        cv2.imwrite(os.path.join(panels_dir, f"{kind}_{idx:06d}.png"),
+                    img_rgb[..., ::-1])
+
+    def unspill(kind, idx):
+        img = cv2.imread(os.path.join(panels_dir, f"{kind}_{idx:06d}.png"),
+                         cv2.IMREAD_COLOR)
+        return None if img is None else img[..., ::-1]
+
     cloud_counts = []
     frame_names = []
 
@@ -136,7 +151,11 @@ def main():
                              jnp.asarray(refs[None]), jnp.asarray(K[None]))
         depth = np.asarray(depth)
         poses = np.asarray(poses)
-        depths_out.append(depth)
+        if depths_out is None:
+            depths_out = np.lib.format.open_memmap(
+                os.path.join(args.output, "depths.npy"), mode="w+",
+                dtype=np.float32, shape=(n_out, *depth.shape))
+        depths_out[i - 1] = depth
 
         global_pose = accum.add(poses[0], poses[1])
         filtered = filter_depth(depth, grad_max=args.grad_max,
@@ -170,9 +189,10 @@ def main():
         rgb_u8 = (target * 255).astype(np.uint8)
         valid = (filtered > 0).astype(np.float32)[..., None]
         overlay = (rgb_u8 * (0.35 + 0.65 * valid)).astype(np.uint8)
-        rgb_panels.append(cv2.resize(rgb_u8, (pw, ph)))
-        depth_panels.append(cv2.resize(viz, (pw, ph)))
-        mask_panels.append(cv2.resize(overlay, (pw, ph)))
+        m = i - 1
+        spill("rgb", m, cv2.resize(rgb_u8, (pw, ph)))
+        spill("depth", m, cv2.resize(viz, (pw, ph)))
+        spill("mask", m, cv2.resize(overlay, (pw, ph)))
         if args.gt_depth:
             base = os.path.splitext(os.path.basename(files[i]))[0]
             gtp = os.path.join(args.gt_depth, base + ".png")
@@ -181,15 +201,14 @@ def main():
                 gtd = read_png_depth_mm(gtp)[..., 0]
                 gti = np.where(gtd > 0, 1.0 / np.maximum(gtd, 1e-6), 0.0)
                 gtv = (viz_inv_depth(gti) * 255).astype(np.uint8)
-                gtd_panels.append(cv2.resize(gtv, (pw, ph)))
-            else:
-                gtd_panels.append(None)
+                spill("gtd", m, cv2.resize(gtv, (pw, ph)))
         cloud_counts.append(sum(len(p) for p in all_points))
         frame_names.append(os.path.basename(files[i]))
         if i % 10 == 0:
             print(f"[{i}/{len(files) - 2}] frames processed")
 
-    np.save(os.path.join(args.output, "depths.npy"), np.stack(depths_out))
+    if depths_out is not None:
+        depths_out.flush()  # already on disk via the memmap
 
     if args.ba and len(pose_list) >= 3:
         # Keyframe dense BA: depth-consistency refinement of the chained
@@ -227,9 +246,18 @@ def main():
                 if args.gt_poses else None)
     ate = None
     gt_positions = None
+    aligned_poses = None
     if gt_poses is not None and len(gt_poses) == len(pose_list):
         aligned, ate = align_to_gt(pose_list, gt_poses)
         gt_positions = np.stack([p[:3, 3] for p in gt_poses])
+        # The vs-GT panel must draw the sim3-ALIGNED prediction (monocular
+        # scale/frame is arbitrary; raw positions would diverge from GT
+        # while the label quotes the aligned ATE).
+        aligned_poses = []
+        for a in aligned:
+            T = np.eye(4)
+            T[:3, 3] = a
+            aligned_poses.append(T)
         print(f"ATE-RMSE vs GT trajectory (sim3-aligned): {ate:.4f} m")
     elif args.gt_poses:
         print("warning: GT poses missing/unmatched; trajectory panels "
@@ -254,11 +282,11 @@ def main():
     writer = cv2.VideoWriter(video_path, cv2.VideoWriter_fourcc(*"mp4v"),
                              args.fps, (W, H))
     panel_size = (ph, pw)
-    for i in range(len(rgb_panels)):
+    for i in range(len(frame_names)):
         panels = {
-            "rgb": rgb_panels[i],
-            "mask": mask_panels[i],
-            "depth": depth_panels[i],
+            "rgb": unspill("rgb", i),
+            "mask": unspill("mask", i),
+            "depth": unspill("depth", i),
             "traj": draw_trajectory_panel(pose_list, i, size=panel_size,
                                           label="pred"),
             "cloud": cloud_topdown_panel(
@@ -266,12 +294,13 @@ def main():
                 colors[:cloud_counts[i]] if cloud_counts[i] else colors[:0],
                 size=panel_size),
         }
-        if i < len(gtd_panels) and gtd_panels[i] is not None:
-            panels["depth_gt"] = gtd_panels[i]
+        gtd = unspill("gtd", i) if args.gt_depth else None
+        if gtd is not None:
+            panels["depth_gt"] = gtd
         if gt_positions is not None:
             panels["traj_vs_gt"] = draw_trajectory_panel(
-                pose_list, i, size=panel_size, overlay=gt_positions,
-                label="pred(b) vs gt(r)")
+                aligned_poses, i, size=panel_size, overlay=gt_positions,
+                label="pred-sim3(b) vs gt(r)")
             panels["traj_gt"] = draw_trajectory_panel(
                 gt_poses, i, size=panel_size, color=(255, 90, 90),
                 label="gt")

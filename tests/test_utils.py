@@ -134,3 +134,45 @@ def test_checkpoint_sync_file_mirror(tmp_path):
     (local / "extra.txt").unlink()
     assert sync_checkpoint_dir(str(local), str(remote))
     assert not (remote / "extra.txt").exists()
+
+
+def test_checkpoint_sync_catches_up_off_schedule_saves(tmp_path):
+    """A save landing on an off-schedule epoch must reach the mirror at the
+    next scheduled epoch even if that epoch saves nothing (regression:
+    sync used to require save-epoch and schedule-epoch to coincide)."""
+    import numpy as np
+    from dro_sfm_tpu.training.checkpoint import CheckpointManager
+
+    local = tmp_path / "ckpts"
+    remote = tmp_path / "bucket"
+    mgr = CheckpointManager(str(local), monitor="abs_rel", save_top_k=1,
+                            save_code=False,
+                            sync_url=f"file://{remote}", sync_frequency=2)
+
+    class FakeState:
+        params = {"w": np.zeros(2)}
+        batch_stats = {}
+        opt_state = ()
+        step = 0
+
+    import dro_sfm_tpu.training.checkpoint as ckpt_mod
+
+    def fake_save(path, state, epoch, config=None):
+        with open(path, "w") as f:
+            f.write("x")
+
+    orig = ckpt_mod.save_checkpoint
+    ckpt_mod.save_checkpoint = fake_save
+    try:
+        # Epoch 0 improves ((0+1)%2 != 0 -> no sync yet); epoch 1 does NOT
+        # improve but is a scheduled epoch -> the pending save must sync.
+        mgr.check_and_save(FakeState(), 0, {"abs_rel": 0.5})
+        assert not remote.exists() or not list(remote.iterdir())
+        mgr.check_and_save(FakeState(), 1, {"abs_rel": 0.9})
+        assert any("0.500" in p.name for p in remote.iterdir())
+        # Nothing new since the last sync: epoch 3 re-sync is skipped (no
+        # pending flag), which we can only observe as not crashing on a
+        # removed remote.
+        assert mgr._sync_pending is False
+    finally:
+        ckpt_mod.save_checkpoint = orig

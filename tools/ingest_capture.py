@@ -80,7 +80,11 @@ def _translation_T(x, y, z):
 
 
 GAZEBO_CAM2GT = _translation_T(0, 0, -0.068) @ _translation_T(-0.076, 0, -0.025)
-# Axis remap between the camera optical frame and the gazebo world frame.
+# Axis remap between the camera optical frame (z forward) and the gazebo
+# body/world frame (`gazebo_config.py:72-100` cam_to_gazebo_world). The
+# reference only explores this in its debug script and never applies it in
+# ingestion; exposed here behind --apply-cam2world for captures whose
+# tracker rotations are body-frame.
 GAZEBO_CAM2WORLD = np.array([
     [0.0, 0.0, -1.0, 0.0],
     [1.0, 0.0, 0.0, 0.0],
@@ -192,10 +196,18 @@ def main():
     p.add_argument("--preset", choices=sorted(PRESETS), default="none",
                    help="capture rig preset: 'gazebo' writes the RoboMaker "
                         "sim intrinsics and applies the camera->GT-tracker "
-                        "extrinsic chain to trajectory poses")
+                        "translation chain to trajectory poses")
+    p.add_argument("--apply-cam2world", action="store_true",
+                   help="also apply the optical-frame axis remap "
+                        "(GAZEBO_CAM2WORLD) for captures whose tracker "
+                        "rotations are gazebo body-frame; off by default "
+                        "(the reference ingestion never applies it)")
     args = p.parse_args()
 
     preset_K, preset_T = PRESETS[args.preset]
+    if args.apply_cam2world:
+        preset_T = (GAZEBO_CAM2WORLD if preset_T is None
+                    else preset_T @ GAZEBO_CAM2WORLD)
 
     traj = load_trajectory(args.trajectory)
     ts = traj[:, 0]
