@@ -12,6 +12,7 @@ metrics, and `jax.process_index() == 0` gating.
 """
 from __future__ import annotations
 
+import signal
 import time
 from typing import Dict, Optional
 
@@ -193,6 +194,8 @@ class Trainer:
         # (ref `model_wrapper.py:156-158` current_epoch / max_epochs)
         progress = float(epoch) / max(self.cfg.arch.max_epochs, 1)
         for i, batch in enumerate(self.train_loader):
+            if getattr(self, "_preempted", False):
+                break  # stop promptly; fit() saves the emergency ckpt
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray) and k != "valid"}
             arrays = shard_batch(arrays, self.mesh)
@@ -313,21 +316,59 @@ class Trainer:
         return results
 
     # ------------------------------------------------------------------
+    # -- graceful preemption (beyond reference: no recovery path exists
+    # there, SURVEY.md §5) -------------------------------------------------
+    def _request_preemption(self, signum=None, frame=None):
+        """SIGTERM handler: finish the current step, then checkpoint and
+        exit the fit loop cleanly (Cloud TPU preemption notice)."""
+        self._preempted = True
+
+    def _install_preempt_handler(self):
+        try:
+            self._prev_sigterm = signal.signal(
+                signal.SIGTERM, self._request_preemption)
+        except ValueError:  # not the main thread (tests, embedding)
+            self._prev_sigterm = None
+
+    def _restore_preempt_handler(self):
+        if getattr(self, "_prev_sigterm", None) is not None:
+            signal.signal(signal.SIGTERM, self._prev_sigterm)
+
     def fit(self) -> Dict[str, float]:
         cfg = self.cfg
         metrics: Dict[str, float] = {}
-        for epoch in range(self.current_epoch, cfg.arch.max_epochs):
-            self.current_epoch = epoch
-            train_metrics = self.train_epoch(epoch)
-            val_metrics = self.validate_all()
-            metrics = {**train_metrics, **val_metrics}
-            if is_rank0():
-                self.checkpointer.check_and_save(
-                    self.state, epoch, val_metrics,
-                    config=self.cfg.to_dict())
-                if self.logger:
-                    self.logger.log_metrics(
-                        {**metrics, "epoch": epoch})
+        self._preempted = getattr(self, "_preempted", False)
+        self._install_preempt_handler()
+        try:
+            for epoch in range(self.current_epoch, cfg.arch.max_epochs):
+                self.current_epoch = epoch
+                train_metrics = self.train_epoch(epoch)
+                if self._preempted:
+                    # Mid-epoch stop: save a resumable emergency checkpoint
+                    # (the partial epoch re-runs on resume) and bail out.
+                    if is_rank0():
+                        import os
+                        path = os.path.join(self.checkpointer.dirpath,
+                                            f"preempt_epoch={epoch:02d}.ckpt")
+                        from dro_sfm_tpu.training.checkpoint import (
+                            save_checkpoint)
+                        save_checkpoint(path, self.state, epoch - 1,
+                                        config=self.cfg.to_dict())
+                        print(pcolor(f"preempted: state saved to {path}; "
+                                     f"resume with train.py {path}",
+                                     "yellow"), flush=True)
+                    break
+                val_metrics = self.validate_all()
+                metrics = {**train_metrics, **val_metrics}
+                if is_rank0():
+                    self.checkpointer.check_and_save(
+                        self.state, epoch, val_metrics,
+                        config=self.cfg.to_dict())
+                    if self.logger:
+                        self.logger.log_metrics(
+                            {**metrics, "epoch": epoch})
+        finally:
+            self._restore_preempt_handler()
         return metrics
 
     def test(self, save_artifacts: bool = False) -> Dict[str, float]:

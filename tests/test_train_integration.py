@@ -238,3 +238,63 @@ def test_overfit_kitti_config_through_cli(tmp_path):
     assert np.isfinite(float(metrics["avg_train-loss"]))
     import os
     assert any(f.endswith(".ckpt") for f in os.listdir(tmp_path / "ckpt"))
+
+
+def test_preemption_checkpoints_and_resumes(tmp_path):
+    """SIGTERM during fit saves an emergency checkpoint; resuming from it
+    re-runs the interrupted epoch (beyond-reference graceful preemption —
+    the reference has no recovery path, SURVEY.md §5)."""
+    import os
+    import signal
+    import threading
+
+    from dro_sfm_tpu.training.trainer import Trainer
+
+    def make_cfg(max_epochs):
+        return load_config(overrides={
+            "name": "preempt_smoke",
+            "arch": {"max_epochs": max_epochs},
+            "checkpoint": {"filepath": str(tmp_path / "ckpt"),
+                           "save_top_k": 1},
+            "model": {
+                "name": "SupModelMF",
+                "depth_net": {"name": "DepthPoseNet",
+                              "version": "it4-h-out-seq2"},
+                "params": {"crop": "", "min_depth": 0.2, "max_depth": 20.0},
+                "loss": {"flip_lr_prob": 0.0},
+            },
+            "datasets": {
+                "augmentation": {"image_shape": (48, 64)},
+                "train": {"batch_size": 2, "num_workers": 2,
+                          "dataset": ["Synthetic"], "path": ["0"],
+                          "split": ["4"], "repeat": [1],
+                          "back_context": 1, "forward_context": 1},
+                "validation": {"batch_size": 2, "num_workers": 2,
+                               "dataset": ["Synthetic"], "path": ["1"],
+                               "split": ["3"], "back_context": 1,
+                               "forward_context": 1},
+                "test": {"dataset": [], "path": [], "split": []},
+            },
+        })
+
+    trainer = Trainer(make_cfg(max_epochs=50))
+    # Deliver a real SIGTERM shortly after fit starts; the handler must
+    # flip the flag and fit must exit with the emergency checkpoint long
+    # before the 50 configured epochs.
+    killer = threading.Timer(1.0, os.kill, (os.getpid(), signal.SIGTERM))
+    killer.start()
+    try:
+        trainer.fit()
+    finally:
+        killer.cancel()
+    assert trainer._preempted
+    preempts = list((tmp_path / "ckpt").glob("preempt_epoch=*.ckpt"))
+    assert len(preempts) == 1
+    # The original SIGTERM disposition is restored after fit.
+    assert signal.getsignal(signal.SIGTERM) == signal.SIG_DFL
+
+    # Resume from the emergency checkpoint and finish 1 epoch cleanly.
+    cfg2 = make_cfg(max_epochs=trainer.current_epoch + 1)
+    trainer2 = Trainer(cfg2, resume=str(preempts[0]))
+    metrics = trainer2.fit()
+    assert np.isfinite(metrics["avg_train-loss"])
