@@ -16,6 +16,9 @@ flax [in,out]; BatchNorm (weight, bias, running_mean, running_var) map to
 Usage:
     python tools/convert_torch_weights.py resnet18 resnet18.pth out.msgpack
     python tools/convert_torch_weights.py dro-ckpt indoor_scannet.ckpt out.msgpack
+    # or emit an eval-ready framework checkpoint (config carried over):
+    python tools/convert_torch_weights.py dro-ckpt indoor_scannet.ckpt out.ckpt
+    # then: python scripts/eval.py --checkpoint out.ckpt
 """
 from __future__ import annotations
 
@@ -196,13 +199,62 @@ def convert_dro_checkpoint(state_dict: dict) -> dict:
     return {"params": out_params, "batch_stats": out_stats}
 
 
+def emit_framework_ckpt(tree: dict, dst: str, ref_config) -> None:
+    """Package a converted tree as an eval-ready framework checkpoint.
+
+    The reference checkpoint embeds its yacs config (`model_checkpoint.py
+    :72-78`); our config mirrors the key names, so the operating point
+    (network version, depth range, eval image shape, model name) carries
+    over and `scripts/eval.py --checkpoint out.ckpt` runs directly.
+    """
+    from dro_sfm_tpu.training.checkpoint import save_checkpoint
+    from dro_sfm_tpu.utils.config import load_config
+
+    overrides: dict = {}
+    ref_config = ref_config or {}
+
+    def pick(path):
+        node = ref_config
+        for p in path:
+            if not isinstance(node, dict) or p not in node:
+                return None
+            node = node[p]
+        return node
+
+    for path in (("model", "name"),
+                 ("model", "depth_net", "name"),
+                 ("model", "depth_net", "version"),
+                 ("model", "params", "min_depth"),
+                 ("model", "params", "max_depth"),
+                 ("model", "params", "crop"),
+                 ("datasets", "augmentation", "image_shape")):
+        val = pick(path)
+        if val is None:
+            continue
+        node = overrides
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = (tuple(val) if isinstance(val, (list, tuple))
+                          else val)
+    cfg = load_config(overrides=overrides)
+
+    class _State:
+        params = tree["params"]
+        batch_stats = tree.get("batch_stats", {})
+        opt_state = ()
+        step = 0
+
+    save_checkpoint(dst, _State(), epoch=int(ref_config.get("epoch", 0)),
+                    config=cfg.to_dict())
+
+
 def main():
     import torch
     from flax import serialization
 
     kind, src, dst = sys.argv[1], sys.argv[2], sys.argv[3]
     raw = torch.load(src, map_location="cpu")
-    state_dict = raw.get("state_dict", raw)
+    state_dict = raw.get("state_dict", raw) if isinstance(raw, dict) else raw
     state_dict = {k: v.numpy() if hasattr(v, "numpy") else v
                   for k, v in state_dict.items()}
     if kind == "resnet18":
@@ -213,8 +265,16 @@ def main():
         tree = convert_dro_checkpoint(state_dict)
     else:
         raise SystemExit(f"unknown kind {kind}")
-    with open(dst, "wb") as f:
-        f.write(serialization.msgpack_serialize(tree))
+    if kind == "dro-ckpt" and dst.endswith(".ckpt"):
+        # Eval-ready framework checkpoint (config carried over from the
+        # reference ckpt when present): the direct reference-to-eval path.
+        ref_cfg = raw.get("config", {}) if isinstance(raw, dict) else {}
+        if hasattr(ref_cfg, "items") and not isinstance(ref_cfg, dict):
+            ref_cfg = dict(ref_cfg)  # yacs CfgNode is dict-like
+        emit_framework_ckpt(tree, dst, ref_cfg)
+    else:
+        with open(dst, "wb") as f:
+            f.write(serialization.msgpack_serialize(tree))
     print(f"wrote {dst}")
 
 
