@@ -51,31 +51,37 @@ def export_serving_artifact(net, variables, out_dir: str,
                             batch: int, views: int,
                             image_shape: Tuple[int, int],
                             platforms=("cpu", "tpu"),
+                            dynamic_batch: bool = False,
                             meta_extra=None) -> str:
     """Serialize the frozen net for (batch, views, image_shape); returns
-    the artifact path."""
+    the artifact path. With ``dynamic_batch`` the leading dimension is a
+    symbolic size — one artifact serves any batch (XLA recompiles per
+    concrete size at load time, weights stay shared)."""
     from jax import export as jexport
 
     h, w = image_shape
     os.makedirs(out_dir, exist_ok=True)
     fn = build_serving_fn(net, variables)
+    bdim = jexport.symbolic_shape("b")[0] if dynamic_batch else batch
     args = (
-        jax.ShapeDtypeStruct((batch, h, w, 3), jnp.float32),
-        jax.ShapeDtypeStruct((batch, views, h, w, 3), jnp.float32),
-        jax.ShapeDtypeStruct((batch, 3, 3), jnp.float32),
+        jax.ShapeDtypeStruct((bdim, h, w, 3), jnp.float32),
+        jax.ShapeDtypeStruct((bdim, views, h, w, 3), jnp.float32),
+        jax.ShapeDtypeStruct((bdim, 3, 3), jnp.float32),
     )
     exported = jexport.export(jax.jit(fn), platforms=list(platforms))(*args)
     blob = exported.serialize()
     path = os.path.join(out_dir, ARTIFACT)
     with open(path, "wb") as f:
         f.write(blob)
+    bsig = "b" if dynamic_batch else batch
     meta = {
         "signature": {
-            "target": [batch, h, w, 3], "refs": [batch, views, h, w, 3],
-            "K": [batch, 3, 3],
-            "outputs": {"depth": [batch, h, w],
-                        "pose_mats": [batch, views, 4, 4]}},
+            "target": [bsig, h, w, 3], "refs": [bsig, views, h, w, 3],
+            "K": [bsig, 3, 3],
+            "outputs": {"depth": [bsig, h, w],
+                        "pose_mats": [bsig, views, 4, 4]}},
         "platforms": list(platforms),
+        "dynamic_batch": dynamic_batch,
         "bytes": len(blob),
     }
     meta.update(meta_extra or {})

@@ -23,6 +23,9 @@ def main():
     p.add_argument("--views", type=int, default=2)
     p.add_argument("--image-shape", type=int, nargs=2, default=None)
     p.add_argument("--platforms", nargs="+", default=["cpu", "tpu"])
+    p.add_argument("--dynamic-batch", action="store_true",
+                   help="export with a symbolic batch dimension (one "
+                        "artifact serves any batch size)")
     p.add_argument("--skip-check", action="store_true",
                    help="skip the live-vs-frozen roundtrip check")
     args = p.parse_args()
@@ -35,7 +38,7 @@ def main():
     shape = tuple(args.image_shape or cfg.datasets.augmentation.image_shape)
     path = export_serving_artifact(
         net, variables, args.output, args.batch, args.views, shape,
-        platforms=tuple(args.platforms),
+        platforms=tuple(args.platforms), dynamic_batch=args.dynamic_batch,
         meta_extra={"checkpoint": os.path.abspath(args.checkpoint),
                     "version": cfg.model.depth_net.version,
                     "min_depth": cfg.model.params.min_depth,

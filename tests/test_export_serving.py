@@ -63,3 +63,21 @@ def test_artifact_is_self_contained(tmp_path, tiny_net):
     np.testing.assert_allclose(np.asarray(mats)[:, :, 3],
                                np.broadcast_to([0, 0, 0, 1.0], (2, N, 4)),
                                atol=1e-6)
+
+
+def test_dynamic_batch_export(tmp_path, tiny_net):
+    """One symbolic-batch artifact serves multiple batch sizes."""
+    net, variables = tiny_net
+    export_serving_artifact(net, variables, str(tmp_path), batch=1,
+                            views=N, image_shape=(H, W), platforms=("cpu",),
+                            dynamic_batch=True)
+    art = load_serving_artifact(str(tmp_path))
+    import jax.numpy as jnp
+    rng = np.random.default_rng(2)
+    for b in (1, 3):
+        depth, mats = art.call(
+            jnp.asarray(rng.uniform(size=(b, H, W, 3)), jnp.float32),
+            jnp.asarray(rng.uniform(size=(b, N, H, W, 3)), jnp.float32),
+            jnp.broadcast_to(jnp.eye(3, dtype=jnp.float32), (b, 3, 3)))
+        assert depth.shape == (b, H, W)
+        assert mats.shape == (b, N, 4, 4)
