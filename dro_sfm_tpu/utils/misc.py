@@ -68,3 +68,21 @@ def is_str(data) -> bool:
 
 def is_int(data) -> bool:
     return isinstance(data, int)
+
+
+def apply_platform_env() -> None:
+    """Honor ``DRO_SFM_PLATFORM`` (e.g. ``cpu``) for CLI entry points.
+
+    The dev environment's sitecustomize force-registers the tunneled TPU
+    and ignores ``JAX_PLATFORMS``; pinning must happen through jax.config
+    BEFORE the first backend use. Every scripts/*.py main calls this first
+    so tests (and users) can run the CLIs on a chosen platform.
+    """
+    import os
+    plat = os.environ.get("DRO_SFM_PLATFORM")
+    if plat:
+        import jax
+        try:
+            jax.config.update("jax_platforms", plat)
+        except Exception:
+            pass

@@ -24,6 +24,8 @@ def parse_args():
 
 
 def main():
+    from dro_sfm_tpu.utils.misc import apply_platform_env
+    apply_platform_env()
     args = parse_args()
     import jax
     import jax.numpy as jnp

@@ -25,6 +25,8 @@ def parse_args():
 
 
 def main():
+    from dro_sfm_tpu.utils.misc import apply_platform_env
+    apply_platform_env()
     args = parse_args()
     import cv2
     import numpy as np

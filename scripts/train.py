@@ -27,6 +27,8 @@ def parse_args():
 
 
 def main():
+    from dro_sfm_tpu.utils.misc import apply_platform_env
+    apply_platform_env()
     args = parse_args()
     from dro_sfm_tpu.training.trainer import Trainer
     from dro_sfm_tpu.utils.config import load_config, prepare_config, ConfigNode

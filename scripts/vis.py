@@ -40,6 +40,8 @@ def read_ply(path):
 
 
 def main():
+    from dro_sfm_tpu.utils.misc import apply_platform_env
+    apply_platform_env()
     p = argparse.ArgumentParser(description="offline 3D rendering")
     p.add_argument("--ply", default=None)
     p.add_argument("--trajectory", default=None, help="trajectory json")

@@ -128,6 +128,9 @@ def install() -> None:
         return
 
     tv = types.ModuleType("torchvision")
+    # Tests that want REAL torchvision (e.g. the vgg16 percep oracle) must
+    # be able to tell this minimal shim apart and skip.
+    tv.__is_dro_sfm_shim__ = True
     models = types.ModuleType("torchvision.models")
     resnet_mod = types.ModuleType("torchvision.models.resnet")
     transforms = types.ModuleType("torchvision.transforms")

@@ -46,7 +46,7 @@ def test_reference_ckpt_to_eval_ckpt(tmp_path):
 
     out_ckpt = str(tmp_path / "converted.ckpt")
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    env["DRO_SFM_PLATFORM"] = "cpu"
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "tools",
                                       "convert_torch_weights.py"),

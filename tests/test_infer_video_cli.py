@@ -67,7 +67,8 @@ def test_infer_video_cli_streams_outputs(tmp_path, tiny_checkpoint):
         np.savetxt(gt / f"f{i:04d}.txt", T)
 
     env = dict(os.environ)
-    env["JAX_PLATFORMS"] = "cpu"
+    # The axon sitecustomize ignores JAX_PLATFORMS; the CLIs honor this.
+    env["DRO_SFM_PLATFORM"] = "cpu"
     res = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "infer_video.py"),
          "--checkpoint", tiny_checkpoint, "--input", str(frames),

@@ -34,6 +34,8 @@ def test_torch_oracle_parity():
     computation (torch replica of `PercepNet.py:38-64`, random weights)."""
     torch = pytest.importorskip("torch")
     torchvision = pytest.importorskip("torchvision")
+    if getattr(torchvision, "__is_dro_sfm_shim__", False):
+        pytest.skip("real torchvision unavailable (reference_shim active)")
     import torch.nn.functional as F
 
     import sys, os

@@ -249,6 +249,8 @@ def emit_framework_ckpt(tree: dict, dst: str, ref_config) -> None:
 
 
 def main():
+    from dro_sfm_tpu.utils.misc import apply_platform_env
+    apply_platform_env()
     import torch
     from flax import serialization
 
