@@ -119,7 +119,8 @@ def serving_roundtrip_check(net, variables, artifact_dir: str,
     live = jax.jit(build_serving_fn(net, variables))(target, refs, K)
     frozen = load_serving_artifact(artifact_dir).call(target, refs, K)
     err = float(jnp.abs(live[0] - frozen[0]).max())
-    assert err <= atol, f"serving artifact diverges: {err}"
+    if err > atol:  # not `assert` — must survive python -O in deploy jobs
+        raise RuntimeError(f"serving artifact diverges: {err} > {atol}")
     np.testing.assert_allclose(np.asarray(live[1]), np.asarray(frozen[1]),
                                atol=atol)
     return err

@@ -193,9 +193,16 @@ class Trainer:
         # training progress for ProgressiveScaling
         # (ref `model_wrapper.py:156-158` current_epoch / max_epochs)
         progress = float(epoch) / max(self.cfg.arch.max_epochs, 1)
+        multi_host = jax.process_count() > 1
         for i, batch in enumerate(self.train_loader):
-            if getattr(self, "_preempted", False):
-                break  # stop promptly; fit() saves the emergency ckpt
+            # Stop promptly on preemption; fit() saves the emergency ckpt.
+            # Multi-host: only at the shared 10-step cadence, by consensus
+            # (hosts must all stop at the same step or collectives hang).
+            if multi_host:
+                if i % 10 == 0 and self._preempt_consensus():
+                    break
+            elif getattr(self, "_preempted", False):
+                break
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray) and k != "valid"}
             arrays = shard_batch(arrays, self.mesh)
@@ -259,6 +266,9 @@ class Trainer:
         num_logs = self.cfg.wandb.get("num_logs", 5)
         img_interval = max(1, len(loader) // max(num_logs, 1))
         for batch in loader:
+            if jax.process_count() == 1 and getattr(self, "_preempted",
+                                                    False):
+                break  # preemption grace time is short; fit() saves now
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray) and k != "valid"}
             out = self.eval_step(variables, arrays)
@@ -296,7 +306,8 @@ class Trainer:
             pose_sum = stacked[len(METRIC_MODES) * 9:-1]
             n_batches = int(round(stacked[-1]))
         else:
-            assert count == len(loader.dataset), (
+            assert count == len(loader.dataset) or \
+                getattr(self, "_preempted", False), (
                 f"eval saw {count} samples, expected {len(loader.dataset)}")
         results: Dict[str, float] = {}
         table = {}
@@ -334,32 +345,66 @@ class Trainer:
         if getattr(self, "_prev_sigterm", None) is not None:
             signal.signal(signal.SIGTERM, self._prev_sigterm)
 
+    def _preempt_consensus(self) -> bool:
+        """Cross-host OR of the local preemption flag. SIGTERM may land on
+        a subset of hosts (or at different steps); any host entering a
+        collective while another already stopped would hang, so every host
+        must agree on the stop step. Checked at the shared 10-step logging
+        cadence and at phase boundaries — all hosts evaluate it at
+        identical step indices."""
+        if jax.process_count() == 1:
+            return bool(getattr(self, "_preempted", False))
+        from jax.experimental import multihost_utils
+        flags = multihost_utils.process_allgather(
+            np.asarray([getattr(self, "_preempted", False)], np.int32))
+        agreed = bool(np.asarray(flags).any())
+        if agreed:
+            self._preempted = True
+        return agreed
+
+    def _save_preempt_checkpoint(self, epoch: int) -> None:
+        import os
+
+        from dro_sfm_tpu.training.checkpoint import (
+            save_checkpoint, sync_checkpoint_dir)
+        path = os.path.join(self.checkpointer.dirpath,
+                            f"preempt_epoch={epoch:02d}.ckpt")
+        save_checkpoint(path, self.state, epoch - 1,
+                        config=self.cfg.to_dict())
+        # Mirror immediately — on a reclaimed VM the local disk is gone,
+        # which is the whole point of the emergency save.
+        if self.checkpointer.sync_url:
+            sync_checkpoint_dir(self.checkpointer.dirpath,
+                                self.checkpointer.sync_url)
+        print(pcolor(f"preempted: state saved to {path}; "
+                     f"resume with train.py {path}", "yellow"), flush=True)
+
     def fit(self) -> Dict[str, float]:
         cfg = self.cfg
         metrics: Dict[str, float] = {}
-        self._preempted = getattr(self, "_preempted", False)
+        # Fresh fit = fresh intent: a caller re-invoking fit() after a
+        # handled preemption wants training, not an instant no-op.
+        self._preempted = False
         self._install_preempt_handler()
         try:
             for epoch in range(self.current_epoch, cfg.arch.max_epochs):
                 self.current_epoch = epoch
                 train_metrics = self.train_epoch(epoch)
-                if self._preempted:
+                if self._preempt_consensus():
                     # Mid-epoch stop: save a resumable emergency checkpoint
                     # (the partial epoch re-runs on resume) and bail out.
                     if is_rank0():
-                        import os
-                        path = os.path.join(self.checkpointer.dirpath,
-                                            f"preempt_epoch={epoch:02d}.ckpt")
-                        from dro_sfm_tpu.training.checkpoint import (
-                            save_checkpoint)
-                        save_checkpoint(path, self.state, epoch - 1,
-                                        config=self.cfg.to_dict())
-                        print(pcolor(f"preempted: state saved to {path}; "
-                                     f"resume with train.py {path}",
-                                     "yellow"), flush=True)
+                        self._save_preempt_checkpoint(epoch)
                     break
                 val_metrics = self.validate_all()
                 metrics = {**train_metrics, **val_metrics}
+                if self._preempt_consensus():
+                    # SIGTERM landed during validation: skip the (slow)
+                    # top-k save + remote sync and emergency-save NOW —
+                    # the preemption grace period is short.
+                    if is_rank0():
+                        self._save_preempt_checkpoint(epoch + 1)
+                    break
                 if is_rank0():
                     self.checkpointer.check_and_save(
                         self.state, epoch, val_metrics,

@@ -84,5 +84,10 @@ def apply_platform_env() -> None:
         import jax
         try:
             jax.config.update("jax_platforms", plat)
-        except Exception:
-            pass
+        except Exception as e:
+            # A failed pin (backend already initialized, typo'd name)
+            # must be loud: the CLI would otherwise silently run on the
+            # force-registered accelerator.
+            import warnings
+            warnings.warn(
+                f"DRO_SFM_PLATFORM={plat!r} could not be applied: {e}")

@@ -22,7 +22,7 @@ VERSION = "it4-h-out-seq2"
 
 @pytest.mark.slow
 def test_reference_ckpt_to_eval_ckpt(tmp_path):
-    import torch
+    torch = pytest.importorskip("torch")
     from tests.reference_shim import load_reference_depth_pose_net
 
     tnet = load_reference_depth_pose_net(VERSION, min_depth=0.2,
@@ -56,6 +56,9 @@ def test_reference_ckpt_to_eval_ckpt(tmp_path):
 
     # Loads through the standard inference path with the carried-over
     # operating point...
+    from dro_sfm_tpu.training.checkpoint import load_checkpoint
+    assert load_checkpoint(out_ckpt)["meta"]["epoch"] == 7
+
     from dro_sfm_tpu.inference import load_model
     net, variables, cfg = load_model(out_ckpt)
     assert cfg.model.depth_net.version == VERSION

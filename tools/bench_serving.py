@@ -29,14 +29,14 @@ def main():
                          "0 = the exported signature's batch")
     ap.add_argument("--steps", type=int, default=20)
     ap.add_argument("--cpu", action="store_true",
-                    help="pin the CPU platform (the axon sitecustomize "
-                         "ignores JAX_PLATFORMS; must be set before the "
-                         "first backend use)")
+                    help="pin the CPU platform (shorthand for "
+                         "DRO_SFM_PLATFORM=cpu)")
     args = ap.parse_args()
 
-    import jax
     if args.cpu:
-        jax.config.update("jax_platforms", "cpu")
+        os.environ["DRO_SFM_PLATFORM"] = "cpu"
+    from dro_sfm_tpu.utils.misc import apply_platform_env
+    apply_platform_env()
     import jax.numpy as jnp
 
     from dro_sfm_tpu.export_serving import META, load_serving_artifact

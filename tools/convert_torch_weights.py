@@ -199,7 +199,8 @@ def convert_dro_checkpoint(state_dict: dict) -> dict:
     return {"params": out_params, "batch_stats": out_stats}
 
 
-def emit_framework_ckpt(tree: dict, dst: str, ref_config) -> None:
+def emit_framework_ckpt(tree: dict, dst: str, ref_config,
+                        epoch: int = 0) -> None:
     """Package a converted tree as an eval-ready framework checkpoint.
 
     The reference checkpoint embeds its yacs config (`model_checkpoint.py
@@ -244,8 +245,7 @@ def emit_framework_ckpt(tree: dict, dst: str, ref_config) -> None:
         opt_state = ()
         step = 0
 
-    save_checkpoint(dst, _State(), epoch=int(ref_config.get("epoch", 0)),
-                    config=cfg.to_dict())
+    save_checkpoint(dst, _State(), epoch=int(epoch), config=cfg.to_dict())
 
 
 def main():
@@ -273,7 +273,8 @@ def main():
         ref_cfg = raw.get("config", {}) if isinstance(raw, dict) else {}
         if hasattr(ref_cfg, "items") and not isinstance(ref_cfg, dict):
             ref_cfg = dict(ref_cfg)  # yacs CfgNode is dict-like
-        emit_framework_ckpt(tree, dst, ref_cfg)
+        epoch = int(raw.get("epoch", 0)) if isinstance(raw, dict) else 0
+        emit_framework_ckpt(tree, dst, ref_cfg, epoch=epoch)
     else:
         with open(dst, "wb") as f:
             f.write(serialization.msgpack_serialize(tree))
