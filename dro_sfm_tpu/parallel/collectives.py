@@ -57,3 +57,21 @@ def average_loss_and_metrics(outputs: Sequence[Dict[str, float]],
     return {f"{prefix}-{k}": float(np.mean([float(o[k]) for o in outputs
                                             if k in o]))
             for k in keys}
+
+
+def any_process_flag(local_flag: bool) -> bool:
+    """Cross-host OR of a per-process boolean (single-process: identity).
+
+    Used for the preemption consensus in `training/trainer.py`: a SIGTERM
+    may land on a subset of hosts, and a lone host leaving the train loop
+    would leave the rest hanging in the next gradient psum — every host
+    must agree on the stop step. All hosts must call this at the same
+    point (it is itself a collective).
+    """
+    import jax
+    if jax.process_count() == 1:
+        return bool(local_flag)
+    from jax.experimental import multihost_utils
+    flags = multihost_utils.process_allgather(
+        np.asarray([bool(local_flag)], np.int32))
+    return bool(np.asarray(flags).any())

@@ -352,12 +352,8 @@ class Trainer:
         must agree on the stop step. Checked at the shared 10-step logging
         cadence and at phase boundaries — all hosts evaluate it at
         identical step indices."""
-        if jax.process_count() == 1:
-            return bool(getattr(self, "_preempted", False))
-        from jax.experimental import multihost_utils
-        flags = multihost_utils.process_allgather(
-            np.asarray([getattr(self, "_preempted", False)], np.int32))
-        agreed = bool(np.asarray(flags).any())
+        from dro_sfm_tpu.parallel.collectives import any_process_flag
+        agreed = any_process_flag(getattr(self, "_preempted", False))
         if agreed:
             self._preempted = True
         return agreed

@@ -91,5 +91,12 @@ assert count == b * nprocs, count
 expect = sum((i + 1.0) * b for i in range(nprocs))
 assert np.allclose(sums, expect), (sums, expect)
 
+# Preemption consensus (trainer stop-step agreement): no host flagged ->
+# False everywhere; SIGTERM on host 0 only -> True everywhere.
+from dro_sfm_tpu.parallel.collectives import any_process_flag  # noqa: E402
+
+assert any_process_flag(False) is False
+assert any_process_flag(proc_id == 0) is True
+
 print(f"MPOK {proc_id} loss={loss:.6f} p0={p0:.6f} count={count}",
       flush=True)
