@@ -80,7 +80,8 @@ def _build_pair(version):
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("version", ["it12-h-out", "it2-seq2-h-out-inter"])
+@pytest.mark.parametrize("version", ["it12-h-out", "it2-seq2-h-out-inter",
+                                     "it2-seq2-h"])
 def test_forward_parity_eval(version):
     """Final inv-depth + poses match the reference in eval mode (<1e-3)."""
     tnet, jnet, variables, (target, refs, K) = _build_pair(version)
