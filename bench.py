@@ -4,9 +4,11 @@ Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 Measures frames/s of the full jitted training step (forward + supervised
-loss + backward + Adam) for the flagship network (it12-h-out) at the KITTI
-training resolution 192x640 with 2 context views — the operating point of
-the reference's published checkpoints (BASELINE.md). The model runs the
+loss + backward + Adam) for the flagship network (it12-h-out) at 192x640
+with 2 context views — a standard KITTI benchmark resolution, fixed since
+round 1 so the vs_baseline series stays comparable (the reference's own
+KITTI recipe trains at 320x960 batch 2; see tools/perf_ablate.py for other
+operating points). The model runs the
 config-default fast path (bf16 network, fully-unrolled refinement scans —
 tools/perf_ablate.py r2 sweep). The reference publishes no throughput
 numbers, so ``vs_baseline`` compares against the round-1 fp32 measurement
