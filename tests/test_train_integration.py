@@ -29,12 +29,15 @@ def synthetic_batch(n_scenes=2, h=64, w=96):
 
 
 @pytest.mark.slow
-def test_overfit_single_batch_supervised():
+@pytest.mark.parametrize("version", ["it4-h-out", "it4-h"])
+def test_overfit_single_batch_supervised(version):
     """120 Adam steps on one batch must cut the supervised loss by >50%
-    (measured convergence: 2.3 -> 0.61 at step 120, 0.25 at 240, lr 1e-3)."""
+    (measured convergence: 2.3 -> 0.61 at step 120, 0.25 at 240, lr 1e-3).
+    Covers both output heads: normalized (-out, ScanNet recipes) and raw
+    inverse depth (the reference's KITTI recipe, `it12-h`)."""
     import optax
 
-    model_cfg = SfmModelConfig(name="SupModelMF", version="it4-h-out",
+    model_cfg = SfmModelConfig(name="SupModelMF", version=version,
                                min_depth=0.2, max_depth=20.0,
                                flip_lr_prob=0.0)
     net = model_cfg.build_net()
