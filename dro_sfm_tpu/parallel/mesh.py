@@ -3,10 +3,19 @@
 The TPU-native replacement for the reference's Horovod/NCCL layer
 (`/root/reference/dro_sfm/utils/horovod.py`, `utils/reduce.py`): a single
 `jax.sharding.Mesh` with a ``data`` axis (ICI within a host, DCN across
-hosts). The train step is jitted with batch inputs sharded over ``data`` and
-parameters replicated; gradient averaging is then an implicit XLA
-reduce-scatter/all-reduce — no explicit collectives in user code. A ``model``
-axis is reserved for view/scene sharding extensions.
+hosts) and an optional ``spatial`` axis. The train step is jitted with batch
+inputs sharded over ``data`` and parameters replicated; gradient averaging
+is then an implicit XLA reduce-scatter/all-reduce — no explicit collectives
+in user code.
+
+Spatial partitioning (``arch.spatial_shards`` > 1) additionally shards the
+image HEIGHT dimension of every image-like batch input over ``spatial``.
+GSPMD then propagates the layout through the network — convolutions become
+halo-exchanged spatially partitioned convs, norm/loss reductions psum over
+the axis — so activation memory per chip drops ~spatial-fold. This is the
+scaling path for inputs too large for one chip's HBM at batch 1 (the regime
+where data parallelism alone cannot help); the BA edge work sharded in
+`dro_sfm_tpu.ba.dense_ba` uses the ``data`` axis of the same mesh.
 """
 from __future__ import annotations
 
@@ -19,14 +28,20 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec
 
 def make_mesh(devices: Optional[Sequence] = None,
               data_parallel: Optional[int] = None) -> Mesh:
-    """1D/2D mesh over the available devices: (data, model)."""
+    """1D/2D mesh over the available devices: (data, spatial).
+
+    ``spatial`` size is ``len(devices) // data_parallel`` (1 for the pure
+    data-parallel default). Devices are laid out row-major so the spatial
+    groups — which exchange conv halos and psum norm statistics every layer
+    — sit on adjacent (highest-bandwidth ICI) devices.
+    """
     if devices is None:
         devices = jax.devices()
     n = len(devices)
     dp = data_parallel or n
-    mp = n // dp
-    arr = np.asarray(devices).reshape(dp, mp)
-    return Mesh(arr, axis_names=("data", "model"))
+    sp = n // dp
+    arr = np.asarray(devices).reshape(dp, sp)
+    return Mesh(arr, axis_names=("data", "spatial"))
 
 
 def batch_sharding(mesh: Mesh) -> NamedSharding:
@@ -38,7 +53,23 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, PartitionSpec())
 
 
-def shard_batch(batch: dict, mesh: Mesh) -> dict:
+# Height dimension of each image-like batch input ([B,H,W,C] vs [B,N,H,W,C]);
+# everything else (intrinsics, poses, idx) is sharded on batch only.
+_SPATIAL_H_DIM = {"rgb": 1, "rgb_original": 1, "depth": 1,
+                  "rgb_context": 2, "rgb_context_original": 2}
+
+
+def _input_sharding(mesh: Mesh, key: str, ndim: int,
+                    spatial: bool) -> NamedSharding:
+    h = _SPATIAL_H_DIM.get(key)
+    if not spatial or h is None or ndim <= h:
+        return batch_sharding(mesh)
+    spec = [None] * ndim
+    spec[0], spec[h] = "data", "spatial"
+    return NamedSharding(mesh, PartitionSpec(*spec))
+
+
+def shard_batch(batch: dict, mesh: Mesh, spatial: bool = False) -> dict:
     """Build a globally sharded batch from this host's loader output.
 
     Single-process: a plain device_put with the batch axis sharded. Multi-
@@ -48,13 +79,20 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     ``datasets.*.batch_size`` is PER HOST, matching the reference's
     per-worker DataLoader batch under Horovod,
     `/root/reference/dro_sfm/models/model_wrapper.py:811-849`).
+
+    ``spatial=True`` additionally shards image heights over the mesh's
+    ``spatial`` axis (see module docstring); heights must divide by the axis
+    size at the feature stride (H/8) for even GSPMD tiling.
     """
-    sh = batch_sharding(mesh)
     multiprocess = jax.process_count() > 1
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1:
+            sh = _input_sharding(mesh, k, v.ndim, spatial)
             if multiprocess:
+                # The spatial axis lives on each process's local devices
+                # (row-major mesh layout), so local data remains exactly
+                # this process's addressable slice along ``data``.
                 out[k] = jax.make_array_from_process_local_data(
                     sh, np.asarray(v))
             else:

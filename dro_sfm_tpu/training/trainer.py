@@ -87,11 +87,22 @@ class Trainer:
             max_depth=cfg.model.params.max_depth)
         # Data-parallel axis = largest divisor of the per-host batch that the
         # device count supports (a 2-sample debug batch on an 8-device mesh
-        # shards over 2, replicating across the rest).
+        # shards over 2, replicating across the rest). arch.spatial_shards
+        # devices per replica additionally split image heights (GSPMD
+        # spatial partitioning — the path for resolutions where one chip
+        # cannot hold batch-1 activations).
         n_dev = len(jax.devices())
+        self.spatial = max(1, int(cfg.arch.get("spatial_shards", 1)))
+        if n_dev % self.spatial:
+            raise ValueError(
+                f"arch.spatial_shards={self.spatial} must divide the device "
+                f"count {n_dev}")
+        avail = n_dev // self.spatial
         bs = cfg.datasets.train.batch_size
-        dp = max(d for d in range(1, n_dev + 1) if bs % d == 0 and n_dev % d == 0)
-        self.mesh = make_mesh(jax.devices()[:dp])
+        dp = max(d for d in range(1, avail + 1)
+                 if bs % d == 0 and avail % d == 0)
+        self.mesh = make_mesh(jax.devices()[:dp * self.spatial],
+                              data_parallel=dp)
         self.rng = jax.random.PRNGKey(cfg.arch.seed)
 
         # Datasets + loaders. Eval datasets stay separate per split entry
@@ -205,7 +216,8 @@ class Trainer:
                 break
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray) and k != "valid"}
-            arrays = shard_batch(arrays, self.mesh)
+            arrays = shard_batch(arrays, self.mesh,
+                                 spatial=self.spatial > 1)
             self.state, metrics = self.train_step(self.state, arrays, rng,
                                                   progress)
             n_frames += batch["rgb"].shape[0]

@@ -123,7 +123,10 @@ def _dataset_section(batch_size, num_workers, back_context, forward_context):
 DEFAULTS: Dict[str, Any] = {
     "name": "",
     "debug": False,
-    "arch": {"seed": 42, "min_epochs": 1, "max_epochs": 50},
+    # spatial_shards: shard image heights over this many devices per data-
+    # parallel replica (GSPMD spatial partitioning; see parallel/mesh.py).
+    "arch": {"seed": 42, "min_epochs": 1, "max_epochs": 50,
+             "spatial_shards": 1},
     "checkpoint": {
         "filepath": "./results/model",
         "save_top_k": 5,

@@ -1,0 +1,175 @@
+"""Spatial partitioning: image-height sharding over the mesh's ``spatial``
+axis (GSPMD spatially partitioned convolutions).
+
+The scaling mode data parallelism cannot provide — resolutions where one
+chip cannot hold even a batch-1 activation set. Validated the same way the
+multi-chip data path is (SURVEY.md §4): a virtual 8-device CPU mesh.
+
+Test design note: full-network GRADIENT comparison across layouts is
+ill-posed for this model — the recurrent refinement is gradient-chaotic at
+random init (measured: a 1e-6 relative parameter perturbation changes leaf
+gradients by a median 55% in the SAME layout, because reduction-order
+roundoff amplifies through 4 GRU/cost-descent steps whose raw gradient
+norms reach ~600). What IS asserted tightly: (a) the spatially sharded
+FORWARD+loss equals the data-parallel one, and (b) the backward of every
+op class the layout touches (conv with halo, gather/scatter warp, train-
+mode BatchNorm) is exact under height sharding.
+"""
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from dro_sfm_tpu.models.sfm import SfmModelConfig, forward_and_loss, make_percep_fn
+from dro_sfm_tpu.parallel.mesh import make_mesh, shard_batch
+from dro_sfm_tpu.training.state import create_train_state
+from dro_sfm_tpu.training.step import make_train_step
+
+from tests.test_train_integration import synthetic_batch
+
+
+def _meshes():
+    devices = jax.devices()
+    assert len(devices) >= 8, "conftest provides 8 virtual CPU devices"
+    return (make_mesh(devices[:4]),                      # (data=4)
+            make_mesh(devices[:8], data_parallel=4))     # (data=4, spatial=2)
+
+
+@pytest.mark.slow
+def test_spatial_forward_loss_matches_data_parallel():
+    """The full supervised forward+loss over a (data=4, spatial=2) mesh
+    reproduces the (data=4) value: halo exchange + psum is a layout change,
+    not a numerics change."""
+    import optax
+
+    model_cfg = SfmModelConfig(name="SupModelMF", version="it4-h-out",
+                               min_depth=0.2, max_depth=20.0,
+                               flip_lr_prob=0.0)
+    net = model_cfg.build_net()
+    batch = synthetic_batch(n_scenes=4)
+    percep_fn = make_percep_fn(model_cfg)
+    rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def loss_of(params, bstats, batch):
+        variables = {"params": params, "batch_stats": bstats}
+        loss, _ = forward_and_loss(model_cfg, net, variables, batch, rng,
+                                   percep_fn=percep_fn, progress=0.0)
+        return loss
+
+    state = create_train_state(
+        net, jax.random.PRNGKey(0),
+        {k: batch[k] for k in ("rgb", "rgb_context", "intrinsics")},
+        optax.sgd(1e-4))
+
+    mesh_dp, mesh_sp = _meshes()
+    losses = {}
+    for label, mesh, spatial in (("dp", mesh_dp, False), ("sp", mesh_sp, True)):
+        sharded = shard_batch(dict(batch), mesh, spatial=spatial)
+        if spatial:
+            # Image heights really are split over the spatial axis: each
+            # device holds B/4 samples x H/2 rows.
+            b, h = batch["rgb"].shape[:2]
+            shard = sharded["rgb"].addressable_shards[0].data
+            assert shard.shape[:2] == (b // 4, h // 2), shard.shape
+            cshard = sharded["rgb_context"].addressable_shards[0].data
+            assert cshard.shape[2] == h // 2, cshard.shape
+        rep = NamedSharding(mesh, P())
+        losses[label] = float(loss_of(jax.device_put(state.params, rep),
+                                      jax.device_put(state.batch_stats, rep),
+                                      sharded))
+    np.testing.assert_allclose(losses["sp"], losses["dp"], rtol=1e-4)
+
+
+@pytest.mark.slow
+def test_spatial_op_gradients_exact():
+    """Backward passes of the op classes spatial sharding touches — halo-
+    exchanged conv, the warp's gather/scatter-add, train-mode BatchNorm —
+    are exact (<=1e-5) under height sharding."""
+    import flax.linen as nn
+
+    from dro_sfm_tpu.ops.resample import bilinear_sample
+
+    _, mesh = _meshes()
+    rng = np.random.default_rng(0)
+    b, n, h, w, c = 4, 2, 8, 12, 5
+    rep = NamedSharding(mesh, P())
+
+    def compare(fn, args, specs):
+        g = jax.jit(jax.grad(fn, argnums=tuple(range(len(args)))))
+        g_rep = g(*(jax.device_put(a, rep) for a in args))
+        g_sp = g(*(jax.device_put(a, NamedSharding(mesh, s))
+                   for a, s in zip(args, specs)))
+        for a, b_ in zip(jax.tree.leaves(g_rep), jax.tree.leaves(g_sp)):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_),
+                rtol=1e-5, atol=1e-5 * max(1.0, float(jnp.abs(a).max())))
+
+    # gather warp (+ scatter-add backward, the op XLA partitions worst)
+    feat = jnp.asarray(rng.normal(size=(b, n, h, w, c)), jnp.float32)
+    coords = jnp.asarray(rng.uniform(0, [w - 1, h - 1],
+                                     size=(b, n, h, w, 2)), jnp.float32)
+    compare(lambda f, co: jnp.sum(jnp.square(bilinear_sample(f, co))),
+            (feat, coords),
+            (P("data", None, "spatial"), P("data", None, "spatial")))
+
+    # conv with halo exchange (input grad needs the reverse halo)
+    k = jnp.asarray(rng.normal(size=(3, 3, c, c)), jnp.float32) * 0.1
+    x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+
+    def conv_loss(x_, k_):
+        y = jax.lax.conv_general_dilated(
+            x_, k_, (1, 1), "SAME",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return jnp.sum(y * y)
+
+    compare(conv_loss, (x, k), (P("data", "spatial"), P()))
+
+    # train-mode BatchNorm (batch statistics psum over data AND spatial)
+    bn = nn.BatchNorm(use_running_average=False, momentum=0.9)
+    variables = bn.init(jax.random.PRNGKey(0), x)
+
+    def bn_loss(p, x_):
+        y, _ = bn.apply({"params": p,
+                         "batch_stats": variables["batch_stats"]}, x_,
+                        mutable=["batch_stats"])
+        return jnp.sum(y * jnp.tanh(y))
+
+    compare(bn_loss, (variables["params"], x), (P(), P("data", "spatial")))
+
+
+@pytest.mark.slow
+def test_trainer_spatial_smoke(tmp_path):
+    """arch.spatial_shards flows from yaml config through the Trainer: one
+    epoch on the synthetic set over a (data, spatial=2) mesh."""
+    from dro_sfm_tpu.training.trainer import Trainer
+    from dro_sfm_tpu.utils.config import load_config
+
+    cfg = load_config(overrides={
+        "name": "spatial_smoke",
+        "arch": {"max_epochs": 1, "spatial_shards": 2},
+        "checkpoint": {"filepath": str(tmp_path / "ckpt"), "save_top_k": 1},
+        "model": {
+            "name": "SupModelMF",
+            "depth_net": {"name": "DepthPoseNet", "version": "it4-h-out"},
+            "params": {"crop": "", "min_depth": 0.2, "max_depth": 20.0},
+            "loss": {"flip_lr_prob": 0.0},
+        },
+        "datasets": {
+            "augmentation": {"image_shape": (64, 96)},
+            "train": {"batch_size": 2, "num_workers": 2,
+                      "dataset": ["Synthetic"], "path": ["0"],
+                      "split": ["4"], "repeat": [1],
+                      "back_context": 1, "forward_context": 1},
+            "validation": {"batch_size": 2, "num_workers": 2,
+                           "dataset": ["Synthetic"], "path": ["0"],
+                           "split": ["2"],
+                           "back_context": 1, "forward_context": 1},
+        },
+    })
+    trainer = Trainer(cfg)
+    assert trainer.mesh.shape == {"data": 2, "spatial": 2}
+    out = trainer.train_epoch(0)
+    assert np.isfinite(out["avg_train-loss"])
