@@ -27,9 +27,11 @@ bf16, ~2^-8 relative — inside mixed-precision training noise); f32 inputs
 use HIGHEST precision and are exact vs the gather path to <=6e-5.
 
 Public entries: `tent_warp(features [B,h,w,C], coords [B,P,2])` (P padded
-to a multiple of 128 by the caller) and `pallas_warp_cost` for the DRO
-cost shapes (handles padding). Parity: the sampling semantics of
-`/root/reference/dro_sfm/networks/depth_pose/DepthPoseNet.py:76-96`.
+to a multiple of 128 by the caller), `tent_warp_diff` (warp fused with the
+cost subtraction: the f32 warped tensor never reaches HBM, and its VJP
+reduces the coordinate-gradient products on-chip), and `pallas_warp_cost`
+for the DRO cost shapes (handles padding). Parity: the sampling semantics
+of `/root/reference/dro_sfm/networks/depth_pose/DepthPoseNet.py:76-96`.
 """
 from __future__ import annotations
 
@@ -79,12 +81,13 @@ def _fwd_kernel(coords_ref, feat_ref, out_ref, *, h, w, mode_x, mode_y,
                          precision=_dot_prec(compute_dtype))
 
 
-def _bwd_feat_kernel(coords_ref, g_ref, out_ref, *, h, w, compute_dtype):
-    """d_features[q, c] = sum_p W[p, q] g[p, c], accumulated across
+def _bwd_feat_kernel(coords_ref, g_ref, out_ref, *, h, w, compute_dtype,
+                     sign=1.0):
+    """d_features[q, c] = sign * sum_p W[p, q] g[p, c], accumulated across
     coordinate strips (grid dim 1 revisits the output block)."""
     q = _qgrid(out_ref.shape[1], h, w)
     wgt = _strip_weights(coords_ref[0], q, 0, 0, compute_dtype)
-    g = g_ref[0].astype(compute_dtype)                 # [TILE, C]
+    g = (sign * g_ref[0]).astype(compute_dtype)        # [TILE, C]
     upd = jax.lax.dot_general(
         wgt, g, (((0,), (0,)), ((), ())),              # contract TILE axis
         preferred_element_type=jnp.float32,
@@ -122,13 +125,143 @@ def _run_fwd(features, coords, mode_x, mode_y, interpret):
     )(coords, flat)
 
 
-def _run_bwd_feat(coords, g, h, w, dtype, interpret):
+def _fwd_diff_kernel(coords_ref, feat_ref, f1_ref, out_ref, *, h, w,
+                     compute_dtype, out_dtype):
+    """Fused warp-subtract: out = f1 - W @ F for one coordinate strip.
+
+    The subtraction epilogue keeps the f32 ``warped`` product in VMEM only —
+    the cost path's residual (`diff`) leaves the kernel directly in the
+    feature dtype, skipping the [B,N,P,C] f32 HBM round-trip the two-op
+    formulation pays."""
+    q = _qgrid(feat_ref.shape[1], h, w)
+    wgt = _strip_weights(coords_ref[0], q, 0, 0, compute_dtype)
+    f = feat_ref[0].astype(compute_dtype)              # [p_pad, C]
+    warped = jnp.dot(wgt, f, preferred_element_type=jnp.float32,
+                     precision=_dot_prec(compute_dtype))
+    out_ref[0] = (f1_ref[0].astype(jnp.float32) - warped).astype(out_dtype)
+
+
+def _bwd_coords_kernel(coords_ref, feat_ref, g_ref, du_ref, dv_ref, *, h, w,
+                       compute_dtype, sign=1.0):
+    """Coordinate gradient with the [P, C] tent-derivative products reduced
+    on-chip: d_coords[p] = sign * <g[p, :], (W' @ F)[p, :]> for both the x-
+    and y-derivative tents. Replaces two full-size f32 product tensors in
+    HBM with per-strip epilogue reductions (du/dv as separate [P] outputs
+    so the pixel axis stays on the vector lanes)."""
+    q = _qgrid(feat_ref.shape[1], h, w)
+    c = coords_ref[0]
+    f = feat_ref[0].astype(compute_dtype)              # [p_pad, C]
+    g = (sign * g_ref[0]).astype(jnp.float32)          # [TILE, C]
+    prec = _dot_prec(compute_dtype)
+    px = jnp.dot(_strip_weights(c, q, 1, 0, compute_dtype), f,
+                 preferred_element_type=jnp.float32, precision=prec)
+    py = jnp.dot(_strip_weights(c, q, 0, 1, compute_dtype), f,
+                 preferred_element_type=jnp.float32, precision=prec)
+    du_ref[0] = jnp.sum(px * g, axis=-1)
+    dv_ref[0] = jnp.sum(py * g, axis=-1)
+
+
+def _run_fwd_diff(f1, features, coords, n_views, interpret):
+    """f1 [B, P, C] (P-padded, zero fill); features [B*N, h, w, C];
+    coords [B*N, P, 2] -> diff [B*N, P, C] in f1's dtype."""
+    bn, h, w, ch = features.shape
+    p = coords.shape[1]
+    assert p % TILE == 0, f"P={p} must be a multiple of {TILE}"
+    p_pad = -(-(h * w) // TILE) * TILE
+    flat = features.reshape(bn, h * w, ch)
+    if p_pad != h * w:
+        flat = jnp.pad(flat, ((0, 0), (0, p_pad - h * w), (0, 0)))
+    compute_dtype = (jnp.bfloat16 if features.dtype == jnp.bfloat16
+                     else jnp.float32)
+    return pl.pallas_call(
+        functools.partial(_fwd_diff_kernel, h=h, w=w,
+                          compute_dtype=compute_dtype, out_dtype=f1.dtype),
+        out_shape=jax.ShapeDtypeStruct((bn, p, ch), f1.dtype),
+        grid=(bn, p // TILE),
+        in_specs=[
+            pl.BlockSpec((1, TILE, 2), lambda i, t: (i, t, 0)),
+            pl.BlockSpec((1, p_pad, ch), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, TILE, ch),
+                         lambda i, t: (i // n_views, t, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, TILE, ch), lambda i, t: (i, t, 0)),
+        interpret=interpret,
+    )(coords, flat, f1)
+
+
+def _run_bwd_coords(coords, features, g, sign, interpret):
+    """d_coords [B*N, P, 2] f32 for the warp-subtract backward."""
+    bn, h, w, ch = features.shape
+    p = coords.shape[1]
+    p_pad = -(-(h * w) // TILE) * TILE
+    flat = features.reshape(bn, h * w, ch)
+    if p_pad != h * w:
+        flat = jnp.pad(flat, ((0, 0), (0, p_pad - h * w), (0, 0)))
+    compute_dtype = (jnp.bfloat16 if features.dtype == jnp.bfloat16
+                     else jnp.float32)
+    du, dv = pl.pallas_call(
+        functools.partial(_bwd_coords_kernel, h=h, w=w,
+                          compute_dtype=compute_dtype, sign=sign),
+        out_shape=[jax.ShapeDtypeStruct((bn, p), jnp.float32),
+                   jax.ShapeDtypeStruct((bn, p), jnp.float32)],
+        grid=(bn, p // TILE),
+        in_specs=[
+            pl.BlockSpec((1, TILE, 2), lambda i, t: (i, t, 0)),
+            pl.BlockSpec((1, p_pad, ch), lambda i, t: (i, 0, 0)),
+            pl.BlockSpec((1, TILE, ch), lambda i, t: (i, t, 0)),
+        ],
+        out_specs=[pl.BlockSpec((1, TILE), lambda i, t: (i, t)),
+                   pl.BlockSpec((1, TILE), lambda i, t: (i, t))],
+        interpret=interpret,
+    )(coords, flat, g)
+    return jnp.stack([du, dv], axis=-1)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def tent_warp_diff(f1: jnp.ndarray, features: jnp.ndarray,
+                   coords: jnp.ndarray, n_views: int,
+                   interpret: bool = False) -> jnp.ndarray:
+    """Fused warp-subtract: ``f1 - bilinear_sample(features, coords)``.
+
+    f1 [B, P, C] (each of the B targets broadcast over its ``n_views``
+    reference maps); features [B*n_views, h, w, C]; coords
+    [B*n_views, P, 2] -> diff [B*n_views, P, C] in f1's dtype. Sampling
+    semantics identical to `tent_warp`; differentiable in all three array
+    arguments. The residuals are just (features, coords) — the backward
+    recomputes nothing and materializes no full-size f32 tensors."""
+    return _run_fwd_diff(f1, features, coords, n_views, interpret)
+
+
+def _tent_warp_diff_fwd(f1, features, coords, n_views, interpret):
+    out = _run_fwd_diff(f1, features, coords, n_views, interpret)
+    return out, (features, coords)
+
+
+def _tent_warp_diff_bwd(n_views, interpret, res, g):
+    features, coords = res
+    bn, p, ch = g.shape
+    # d_f1: diff is linear (+1) in f1, broadcast over views.
+    d_f1 = jnp.sum(g.astype(jnp.float32).reshape(bn // n_views, n_views,
+                                                 p, ch), axis=1).astype(g.dtype)
+    # d_features / d_coords carry the -1 sign of the warped term.
+    gf = g.astype(jnp.float32)
+    d_feat = _run_bwd_feat(coords, gf, features.shape[1],
+                           features.shape[2], features.dtype, interpret,
+                           sign=-1.0)
+    d_coords = _run_bwd_coords(coords, features, gf, -1.0, interpret)
+    return d_f1, d_feat, d_coords
+
+
+tent_warp_diff.defvjp(_tent_warp_diff_fwd, _tent_warp_diff_bwd)
+
+
+def _run_bwd_feat(coords, g, h, w, dtype, interpret, sign=1.0):
     b, p, ch = g.shape
     p_pad = -(-(h * w) // TILE) * TILE
     compute_dtype = jnp.bfloat16 if dtype == jnp.bfloat16 else jnp.float32
     out = pl.pallas_call(
         functools.partial(_bwd_feat_kernel, h=h, w=w,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype, sign=sign),
         out_shape=jax.ShapeDtypeStruct((b, p_pad, ch), jnp.float32),
         grid=(b, p // TILE),
         in_specs=[
@@ -179,17 +312,23 @@ def pallas_warp_cost(fmap1: jnp.ndarray, fmaps_ref: jnp.ndarray,
     fmap1 [B,h,w,C]; fmaps_ref [B,N,h,w,C]; coords [B,N,h,w,2] (pixel
     coords) -> cost [B,N,h,w,C] in fmap1's dtype. Pads h*w up to a TILE
     multiple internally.
+
+    The warp and the subtraction run fused (`tent_warp_diff`): the f32
+    warped features never leave VMEM, and the backward's tent-derivative
+    products are reduced on-chip — only the squaring (with its bf16 ``diff``
+    residual) is left to XLA's elementwise fusion.
     """
     b, n, h, w, ch = fmaps_ref.shape
     p = h * w
     p_pad = -(-p // TILE) * TILE
     flat_coords = coords.reshape(b * n, p, 2)
+    f1 = fmap1.reshape(b, p, ch)
     if p_pad != p:
         flat_coords = jnp.pad(flat_coords,
                               ((0, 0), (0, p_pad - p), (0, 0)),
                               constant_values=-10.0)  # outside -> zeros
-    warped = tent_warp(fmaps_ref.reshape(b * n, h, w, ch),
-                       flat_coords, interpret)
-    warped = warped[:, :p].reshape(b, n, h, w, ch).astype(fmap1.dtype)
-    diff = fmap1[:, None] - warped
+        f1 = jnp.pad(f1, ((0, 0), (0, p_pad - p), (0, 0)))
+    diff = tent_warp_diff(f1, fmaps_ref.reshape(b * n, h, w, ch),
+                          flat_coords, n, interpret)
+    diff = diff[:, :p].reshape(b, n, h, w, ch)
     return diff * diff

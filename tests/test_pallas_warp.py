@@ -66,3 +66,60 @@ def test_pallas_warp_cost_padding(rng):
     ours = pallas_warp_cost(fmap1, fref, coords, interpret=True)
     np.testing.assert_allclose(np.asarray(ours), np.asarray(expected),
                                atol=1e-4)
+
+
+def test_warp_cost_gradients_match_gather(rng):
+    """The fused warp-subtract VJP (d_fmap1 view-sum, negated feature
+    scatter, on-chip coordinate epilogue) agrees with autodiff through the
+    gather path on the full cost -> scalar pipeline."""
+    from dro_sfm_tpu.geometry.camera import Camera
+    from dro_sfm_tpu.geometry.pose import Pose
+
+    b, n, h, w, c = 2, 2, 6, 10, 8
+    fmap1 = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+    fref = jnp.asarray(rng.normal(size=(b, n, h, w, c)), jnp.float32)
+    depth = jnp.asarray(rng.uniform(2, 5, size=(b, h, w, 1)), jnp.float32)
+    poses = jnp.asarray(rng.normal(size=(b, n, 6)) * 0.02, jnp.float32)
+    K = jnp.broadcast_to(jnp.asarray(
+        [[8.0, 0, 4.5], [0, 8.0, 2.5], [0, 0, 1.0]], jnp.float32), (b, 3, 3))
+    weights = jnp.asarray(rng.normal(size=(b, n, h, w, c)), jnp.float32)
+
+    def coords_of(d, p):
+        cam = Camera(K)
+        pts = cam.reconstruct(d, frame="w")
+        ref_cam = Camera(jnp.broadcast_to(K[:, None], (b, n, 3, 3)),
+                         Pose.from_vec(p, "euler"))
+        return ref_cam.project(
+            jnp.broadcast_to(pts[:, None], (b, n, h, w, 3)), "w", False)
+
+    def loss_pallas(f1, fr, d, p):
+        return jnp.sum(pallas_warp_cost(f1, fr, coords_of(d, p),
+                                        interpret=True) * weights)
+
+    def loss_gather(f1, fr, d, p):
+        warped = bilinear_sample(fr, coords_of(d, p))
+        return jnp.sum(jnp.square(f1[:, None] - warped) * weights)
+
+    gp = jax.grad(loss_pallas, argnums=(0, 1, 2, 3))(fmap1, fref, depth,
+                                                     poses)
+    gg = jax.grad(loss_gather, argnums=(0, 1, 2, 3))(fmap1, fref, depth,
+                                                     poses)
+    for a, b_ in zip(gp, gg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=2e-4)
+
+
+def test_warp_cost_bf16_close_to_f32(rng):
+    """bf16 inputs run the fused kernel in bf16 and stay within mixed-
+    precision tolerance of the f32 result."""
+    b, n, h, w, c = 1, 2, 6, 10, 8
+    fmap1 = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+    fref = jnp.asarray(rng.normal(size=(b, n, h, w, c)), jnp.float32)
+    coords = jnp.asarray(
+        rng.uniform(0.0, 8.0, size=(b, n, h, w, 2)), jnp.float32)
+    ref = pallas_warp_cost(fmap1, fref, coords, interpret=True)
+    out = pallas_warp_cost(fmap1.astype(jnp.bfloat16),
+                           fref.astype(jnp.bfloat16), coords,
+                           interpret=True)
+    assert out.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref), atol=0.15, rtol=0.2)
