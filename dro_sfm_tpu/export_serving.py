@@ -37,7 +37,8 @@ def build_serving_fn(net, variables):
     """The frozen inference function (weights closed over as constants)."""
 
     def fn(target, refs, K):
-        out = net.apply(variables, target, refs, K, train=False)
+        out = net.apply(variables, target, refs, K, train=False,
+                        last_only=True)
         inv_depth = out["inv_depths"][-1, ..., 0]          # [B,H,W]
         pose_vecs = out["pose_vecs"][:, :, -1]             # [B,N,6]
         b, n = pose_vecs.shape[0], pose_vecs.shape[1]

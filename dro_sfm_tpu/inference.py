@@ -48,7 +48,8 @@ def make_infer_fn(net: DepthPoseNet):
 
     @jax.jit
     def fn(variables, target, refs, K):
-        out = net.apply(variables, target, refs, K, train=False)
+        out = net.apply(variables, target, refs, K, train=False,
+                        last_only=True)
         inv_depth = out["inv_depths"][-1, 0, ..., 0]       # [H,W]
         pose_vecs = out["pose_vecs"][0, :, -1]             # [N,6]
         return inv2depth(inv_depth), Pose.from_vec(pose_vecs, "euler").mat

@@ -301,7 +301,8 @@ class DepthPoseNet(nn.Module):
 
     @nn.compact
     def __call__(self, target: jnp.ndarray, refs: jnp.ndarray,
-                 intrinsics: jnp.ndarray, train: bool = True) -> Dict[str, Any]:
+                 intrinsics: jnp.ndarray, train: bool = True,
+                 last_only: bool = False) -> Dict[str, Any]:
         """target [B,H,W,3]; refs [B,N,H,W,3]; intrinsics [B,3,3].
 
         Returns a dict with
@@ -309,6 +310,12 @@ class DepthPoseNet(nn.Module):
         (P = spec.num_predictions, last entry is the final estimate) and
         ``pose_vecs``: [B,N,P,6] per-view 6-DoF predictions
         (layout parity with `DepthPoseNet.py:200-205`).
+
+        ``last_only`` convex-upsamples only the final prediction (P=1 on the
+        depth output; pose stack unchanged) — the eval/inference fast path,
+        since every intermediate full-resolution upsample is loss-only work
+        (all eval consumers read ``inv_depths[-1]``). With unrolled scans
+        XLA additionally dead-code-eliminates the unused stacked outputs.
         """
         spec = self.spec
         b, n = refs.shape[0], refs.shape[1]
@@ -392,6 +399,8 @@ class DepthPoseNet(nn.Module):
         coarse = jnp.concatenate(coarse_preds, axis=0)   # [P,B,h,w,1]
         masks = jnp.concatenate(mask_preds, axis=0)      # [P,B,h,w,9r^2]
         poses = jnp.concatenate(pose_preds, axis=0)      # [P,B,N,6]
+        if last_only:
+            coarse, masks = coarse[-1:], masks[-1:]
 
         # 5) Convex upsampling + output normalization, vectorized over all
         # predictions at once (`:63-74`, `:179-181`).

@@ -111,7 +111,7 @@ class SfmModelConfig:
 
 def forward(net: DepthPoseNet, variables: Dict, batch: Dict[str, jnp.ndarray],
             train: bool = False, rng: Optional[jax.Array] = None,
-            flip_lr_prob: float = 0.0,
+            flip_lr_prob: float = 0.0, last_only: bool = False,
             ) -> Tuple[Dict[str, jnp.ndarray], Dict]:
     """Run the network on a batch, with optional random flip augmentation.
 
@@ -119,6 +119,11 @@ def forward(net: DepthPoseNet, variables: Dict, batch: Dict[str, jnp.ndarray],
     ``intrinsics`` [B,3,3].
     Returns (output dict with ``inv_depths`` [P,B,H,W,1] / ``pose_vecs``
     [B,N,P,6], updated mutable variables e.g. batch_stats).
+
+    ``last_only`` skips the full-resolution upsampling of every
+    intermediate prediction (depth stack comes back with P=1) — use it on
+    eval/inference paths, which read only ``inv_depths[-1]``; losses need
+    the full stack.
     """
     target = batch["rgb"]
     refs = batch["rgb_context"]
@@ -136,7 +141,8 @@ def forward(net: DepthPoseNet, variables: Dict, batch: Dict[str, jnp.ndarray],
         out, updates = net.apply(variables, target, refs, K, train=True,
                                  mutable=["batch_stats"])
     else:
-        out = net.apply(variables, target, refs, K, train=False)
+        out = net.apply(variables, target, refs, K, train=False,
+                        last_only=last_only)
         updates = {}
 
     inv_depths = out["inv_depths"]

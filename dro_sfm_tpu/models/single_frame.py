@@ -107,11 +107,14 @@ class SingleFrameNet(nn.Module):
     max_depth: float = 100.0
 
     @nn.compact
-    def __call__(self, target, refs, intrinsics=None, train: bool = False):
+    def __call__(self, target, refs, intrinsics=None, train: bool = False,
+                 last_only: bool = False):
         inv_depths = DepthResNet(min_depth=self.min_depth,
                                  max_depth=self.max_depth,
                                  name="depth_net")(target, train=train)
         h, w = target.shape[1], target.shape[2]
+        if last_only:     # eval fast path: only the finest map is consumed
+            inv_depths = inv_depths[:1]
         # finest-first list -> [S,B,H,W,1] stacked coarsest-first
         full = [resize_nearest(d, (h, w)) for d in inv_depths[::-1]]
         stacked = jnp.stack(full)

@@ -74,7 +74,7 @@ def make_eval_step(model_cfg: SfmModelConfig, net: DepthPoseNet,
 
     @jax.jit
     def eval_step(variables, batch):
-        out, _ = forward(net, variables, batch, train=False)
+        out, _ = forward(net, variables, batch, train=False, last_only=True)
         inv_depth = out["inv_depths"][-1]                      # [B,H,W,1]
         pose_vecs = out["pose_vecs"][:, :, -1]                 # [B,N,6]
 
@@ -83,7 +83,8 @@ def make_eval_step(model_cfg: SfmModelConfig, net: DepthPoseNet,
         flipped["rgb"] = flip_lr(batch["rgb"])
         flipped["rgb_context"] = flip_lr(batch["rgb_context"])
         flipped["intrinsics"] = flip_intrinsics(batch["intrinsics"], width)
-        out_f, _ = forward(net, variables, flipped, train=False)
+        out_f, _ = forward(net, variables, flipped, train=False,
+                           last_only=True)
         inv_depth_pp = post_process_inv_depth(
             inv_depth, out_f["inv_depths"][-1], method="mean")
 

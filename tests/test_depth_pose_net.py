@@ -69,6 +69,21 @@ def test_forward_shapes(net_and_vars):
     assert np.all(np.isfinite(np.asarray(out["pose_vecs"])))
 
 
+def test_last_only_matches_full_stack(net_and_vars):
+    """The eval fast path (last_only=True) returns exactly the final
+    prediction of the full stack — P=1 depth output, identical values."""
+    net, variables, batch = net_and_vars
+    args = (batch["rgb"], batch["rgb_context"], batch["intrinsics"])
+    full = net.apply(variables, *args, train=False)
+    fast = net.apply(variables, *args, train=False, last_only=True)
+    assert fast["inv_depths"].shape[0] == 1
+    np.testing.assert_allclose(np.asarray(fast["inv_depths"][-1]),
+                               np.asarray(full["inv_depths"][-1]),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fast["pose_vecs"]),
+                               np.asarray(full["pose_vecs"]), atol=1e-6)
+
+
 def test_selfsup_loss_and_grads(net_and_vars):
     net, variables, batch = net_and_vars
     cfg = SfmModelConfig(name="SelfSupModelMF", version="it4-h-out")
