@@ -72,6 +72,19 @@ def _dot_prec(dtype):
             else jax.lax.Precision.HIGHEST)
 
 
+def _flatten_pad(features):
+    """[B, h, w, C] -> ([B, p_pad, C] zero-padded flat view, p_pad,
+    compute dtype for the tent matmuls)."""
+    b, h, w, ch = features.shape
+    p_pad = -(-(h * w) // TILE) * TILE
+    flat = features.reshape(b, h * w, ch)
+    if p_pad != h * w:
+        flat = jnp.pad(flat, ((0, 0), (0, p_pad - h * w), (0, 0)))
+    compute_dtype = (jnp.bfloat16 if features.dtype == jnp.bfloat16
+                     else jnp.float32)
+    return flat, p_pad, compute_dtype
+
+
 def _fwd_kernel(coords_ref, feat_ref, out_ref, *, h, w, mode_x, mode_y,
                 compute_dtype):
     q = _qgrid(feat_ref.shape[1], h, w)
@@ -105,12 +118,7 @@ def _run_fwd(features, coords, mode_x, mode_y, interpret):
     b, h, w, ch = features.shape
     p = coords.shape[1]
     assert p % TILE == 0, f"P={p} must be a multiple of {TILE}"
-    p_pad = -(-(h * w) // TILE) * TILE
-    flat = features.reshape(b, h * w, ch)
-    if p_pad != h * w:
-        flat = jnp.pad(flat, ((0, 0), (0, p_pad - h * w), (0, 0)))
-    compute_dtype = (jnp.bfloat16 if features.dtype == jnp.bfloat16
-                     else jnp.float32)
+    flat, p_pad, compute_dtype = _flatten_pad(features)
     return pl.pallas_call(
         functools.partial(_fwd_kernel, h=h, w=w, mode_x=mode_x,
                           mode_y=mode_y, compute_dtype=compute_dtype),
@@ -167,12 +175,7 @@ def _run_fwd_diff(f1, features, coords, n_views, interpret):
     bn, h, w, ch = features.shape
     p = coords.shape[1]
     assert p % TILE == 0, f"P={p} must be a multiple of {TILE}"
-    p_pad = -(-(h * w) // TILE) * TILE
-    flat = features.reshape(bn, h * w, ch)
-    if p_pad != h * w:
-        flat = jnp.pad(flat, ((0, 0), (0, p_pad - h * w), (0, 0)))
-    compute_dtype = (jnp.bfloat16 if features.dtype == jnp.bfloat16
-                     else jnp.float32)
+    flat, p_pad, compute_dtype = _flatten_pad(features)
     return pl.pallas_call(
         functools.partial(_fwd_diff_kernel, h=h, w=w,
                           compute_dtype=compute_dtype, out_dtype=f1.dtype),
@@ -193,12 +196,7 @@ def _run_bwd_coords(coords, features, g, sign, interpret):
     """d_coords [B*N, P, 2] f32 for the warp-subtract backward."""
     bn, h, w, ch = features.shape
     p = coords.shape[1]
-    p_pad = -(-(h * w) // TILE) * TILE
-    flat = features.reshape(bn, h * w, ch)
-    if p_pad != h * w:
-        flat = jnp.pad(flat, ((0, 0), (0, p_pad - h * w), (0, 0)))
-    compute_dtype = (jnp.bfloat16 if features.dtype == jnp.bfloat16
-                     else jnp.float32)
+    flat, p_pad, compute_dtype = _flatten_pad(features)
     du, dv = pl.pallas_call(
         functools.partial(_bwd_coords_kernel, h=h, w=w,
                           compute_dtype=compute_dtype, sign=sign),
@@ -243,12 +241,13 @@ def _tent_warp_diff_bwd(n_views, interpret, res, g):
     # d_f1: diff is linear (+1) in f1, broadcast over views.
     d_f1 = jnp.sum(g.astype(jnp.float32).reshape(bn // n_views, n_views,
                                                  p, ch), axis=1).astype(g.dtype)
-    # d_features / d_coords carry the -1 sign of the warped term.
-    gf = g.astype(jnp.float32)
-    d_feat = _run_bwd_feat(coords, gf, features.shape[1],
+    # d_features / d_coords carry the -1 sign of the warped term. g goes to
+    # the kernels in its own (possibly bf16) dtype — each strip casts in
+    # VMEM, so no full-size f32 copy of the gradient is written to HBM.
+    d_feat = _run_bwd_feat(coords, g, features.shape[1],
                            features.shape[2], features.dtype, interpret,
                            sign=-1.0)
-    d_coords = _run_bwd_coords(coords, features, gf, -1.0, interpret)
+    d_coords = _run_bwd_coords(coords, features, g, -1.0, interpret)
     return d_f1, d_feat, d_coords
 
 

@@ -69,7 +69,8 @@ def _input_sharding(mesh: Mesh, key: str, ndim: int,
     return NamedSharding(mesh, PartitionSpec(*spec))
 
 
-def shard_batch(batch: dict, mesh: Mesh, spatial: bool = False) -> dict:
+def shard_batch(batch: dict, mesh: Mesh, spatial: bool = False,
+                local: bool = False) -> dict:
     """Build a globally sharded batch from this host's loader output.
 
     Single-process: a plain device_put with the batch axis sharded. Multi-
@@ -83,8 +84,12 @@ def shard_batch(batch: dict, mesh: Mesh, spatial: bool = False) -> dict:
     ``spatial=True`` additionally shards image heights over the mesh's
     ``spatial`` axis (see module docstring); heights must divide by the axis
     size at the feature stride (H/8) for even GSPMD tiling.
+
+    ``local=True`` marks ``mesh`` as spanning only THIS process's devices
+    (the host-local eval mesh): the batch is then this process's complete
+    array and is placed with a plain device_put even in multi-process runs.
     """
-    multiprocess = jax.process_count() > 1
+    multiprocess = jax.process_count() > 1 and not local
     out = {}
     for k, v in batch.items():
         if hasattr(v, "ndim") and getattr(v, "ndim", 0) >= 1:

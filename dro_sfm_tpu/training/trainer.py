@@ -12,6 +12,7 @@ metrics, and `jax.process_index() == 0` gating.
 """
 from __future__ import annotations
 
+import dataclasses
 import signal
 import time
 from typing import Dict, Optional
@@ -97,12 +98,28 @@ class Trainer:
             raise ValueError(
                 f"arch.spatial_shards={self.spatial} must divide the device "
                 f"count {n_dev}")
+        # Each spatial group must sit on ONE host: shard_batch assembles
+        # global arrays from per-process data that is complete along the
+        # height axis, and halo exchange should ride ICI, not DCN.
+        if jax.local_device_count() % self.spatial:
+            raise ValueError(
+                f"arch.spatial_shards={self.spatial} must divide the LOCAL "
+                f"device count {jax.local_device_count()} (spatial groups "
+                f"cannot span hosts)")
+        if self.spatial > 1 and self.model_cfg.warp_impl == "pallas":
+            # pallas_call has no GSPMD partitioning rule, so height-sharded
+            # operands would be all-gathered around it; the dense matmul
+            # warp partitions like any einsum. Same sampling semantics.
+            self.model_cfg = dataclasses.replace(self.model_cfg,
+                                                 warp_impl="matmul")
+            self.net = self.model_cfg.build_net()
         avail = n_dev // self.spatial
         bs = cfg.datasets.train.batch_size
         dp = max(d for d in range(1, avail + 1)
                  if bs % d == 0 and avail % d == 0)
         self.mesh = make_mesh(jax.devices()[:dp * self.spatial],
                               data_parallel=dp)
+        self._eval_meshes: Dict[int, object] = {}  # batch size -> local mesh
         self.rng = jax.random.PRNGKey(cfg.arch.seed)
 
         # Datasets + loaders. Eval datasets stay separate per split entry
@@ -265,6 +282,28 @@ class Trainer:
             results.update({f"{k}-{i}": v for k, v in r.items()})
         return results
 
+    def _eval_arrays(self, arrays):
+        """Device placement for one eval batch.
+
+        Evaluation is host-local by design (per-host loader shards, local
+        metrics, cross-host metric-sum reduction afterwards), so with
+        spatial partitioning on, the batch is sharded over a mesh of THIS
+        process's devices: heights over ``spatial``, samples over whatever
+        ``data`` width the batch size supports. Without spatial sharding
+        the jitted eval step's default placement is already correct.
+        """
+        if self.spatial == 1:
+            return arrays
+        bs = arrays["rgb"].shape[0]
+        mesh = self._eval_meshes.get(bs)
+        if mesh is None:
+            local = jax.local_devices()
+            avail = len(local) // self.spatial
+            dp = max(d for d in range(1, avail + 1) if bs % d == 0)
+            mesh = make_mesh(local[:dp * self.spatial], data_parallel=dp)
+            self._eval_meshes[bs] = mesh
+        return shard_batch(arrays, mesh, spatial=True, local=True)
+
     def validate(self, loader=None, dataset_name: str = "validation",
                  save_artifacts: bool = False) -> Dict[str, float]:
         loader = loader or self.val_loaders[0]
@@ -283,7 +322,7 @@ class Trainer:
                 break  # preemption grace time is short; fit() saves now
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray) and k != "valid"}
-            out = self.eval_step(variables, arrays)
+            out = self.eval_step(variables, self._eval_arrays(arrays))
             if (self.logger and is_rank0()
                     and n_batches % img_interval == 0):
                 self.logger.log_depth_images(

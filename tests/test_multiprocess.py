@@ -65,7 +65,11 @@ def test_launch_multihost_wires_maybe_init_distributed(tmp_path):
         "from dro_sfm_tpu.parallel.mesh import maybe_init_distributed\n"
         "maybe_init_distributed()\n"
         "assert jax.process_count() == 2, jax.process_count()\n"
-        "print('LAUNCHOK', jax.process_index(), jax.device_count())\n")
+        # Per-rank marker files: both ranks share the launcher's stdout
+        # pipe, and concurrent writes can interleave mid-line.
+        f"open(os.path.join({str(tmp_path)!r}, "
+        "f'launchok_{jax.process_index()}'), 'w')"
+        ".write(str(jax.device_count()))\n")
     res = subprocess.run(
         [sys.executable,
          os.path.join(os.path.dirname(os.path.dirname(
@@ -73,5 +77,7 @@ def test_launch_multihost_wires_maybe_init_distributed(tmp_path):
          "--nprocs", "2", "--devices-per-proc", "1", "--", str(probe)],
         capture_output=True, text=True, timeout=300)
     assert res.returncode == 0, res.stdout + res.stderr
-    assert "LAUNCHOK 0 2" in res.stdout and "LAUNCHOK 1 2" in res.stdout, \
-        res.stdout + res.stderr
+    for rank in (0, 1):
+        marker = tmp_path / f"launchok_{rank}"
+        assert marker.exists(), res.stdout + res.stderr
+        assert marker.read_text() == "2", marker.read_text()

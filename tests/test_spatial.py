@@ -115,6 +115,13 @@ def test_spatial_op_gradients_exact():
             (feat, coords),
             (P("data", None, "spatial"), P("data", None, "spatial")))
 
+    # dense tent-matmul warp (what warp_impl='pallas' degrades to under
+    # spatial sharding — pallas_call has no GSPMD partitioning rule)
+    from dro_sfm_tpu.ops.matmul_warp import bilinear_sample_matmul
+    compare(lambda f, co: jnp.sum(jnp.square(bilinear_sample_matmul(f, co))),
+            (feat, coords),
+            (P("data", None, "spatial"), P("data", None, "spatial")))
+
     # conv with halo exchange (input grad needs the reverse halo)
     k = jnp.asarray(rng.normal(size=(3, 3, c, c)), jnp.float32) * 0.1
     x = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
@@ -143,7 +150,8 @@ def test_spatial_op_gradients_exact():
 @pytest.mark.slow
 def test_trainer_spatial_smoke(tmp_path):
     """arch.spatial_shards flows from yaml config through the Trainer: one
-    epoch on the synthetic set over a (data, spatial=2) mesh."""
+    epoch + validation on the synthetic set over a (data, spatial=2) mesh.
+    warp_impl='pallas' degrades to the GSPMD-partitionable matmul warp."""
     from dro_sfm_tpu.training.trainer import Trainer
     from dro_sfm_tpu.utils.config import load_config
 
@@ -153,7 +161,8 @@ def test_trainer_spatial_smoke(tmp_path):
         "checkpoint": {"filepath": str(tmp_path / "ckpt"), "save_top_k": 1},
         "model": {
             "name": "SupModelMF",
-            "depth_net": {"name": "DepthPoseNet", "version": "it4-h-out"},
+            "depth_net": {"name": "DepthPoseNet", "version": "it4-h-out",
+                          "warp_impl": "pallas"},
             "params": {"crop": "", "min_depth": 0.2, "max_depth": 20.0},
             "loss": {"flip_lr_prob": 0.0},
         },
@@ -171,5 +180,14 @@ def test_trainer_spatial_smoke(tmp_path):
     })
     trainer = Trainer(cfg)
     assert trainer.mesh.shape == {"data": 2, "spatial": 2}
+    assert trainer.model_cfg.warp_impl == "matmul"  # pallas degraded
     out = trainer.train_epoch(0)
     assert np.isfinite(out["avg_train-loss"])
+    # Validation must shard its batches too (the too-big-for-one-chip
+    # regime is exactly where eval would otherwise OOM).
+    sharded = trainer._eval_arrays(
+        {"rgb": np.zeros((2, 64, 96, 3), np.float32)})
+    shard = sharded["rgb"].addressable_shards[0].data
+    assert shard.shape[1] == 32, shard.shape        # height split over 2
+    res = trainer.validate()
+    assert np.isfinite(res["abs_rel"])
