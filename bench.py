@@ -35,7 +35,37 @@ BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
 
 
+def _probe_backend(timeout_s: float = 600.0):
+    """Fail fast if the (remote-attached) backend never comes up.
+
+    The axon relay can be unreachable for hours; `jax.devices()` then hangs
+    indefinitely inside backend init, which would stall the whole bench
+    harness. Probe it on a daemon thread with a hard deadline and exit
+    with a diagnostic instead of hanging."""
+    import sys
+    import threading
+
+    result = {}
+
+    def probe():
+        import jax
+        try:
+            result["devices"] = jax.devices()
+        except Exception as e:               # noqa: BLE001 — diagnostic path
+            result["error"] = repr(e)
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in result:
+        msg = result.get("error", f"backend init exceeded {timeout_s:.0f}s")
+        print(f"bench.py: accelerator backend unavailable: {msg}",
+              file=sys.stderr)
+        sys.exit(3)
+
+
 def main():
+    _probe_backend()
     import jax
     import jax.numpy as jnp
 

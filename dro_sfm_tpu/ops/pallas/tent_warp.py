@@ -290,14 +290,12 @@ def _tent_warp_fwd(features, coords, interpret):
 def _tent_warp_bwd(interpret, res, g):
     features, coords = res
     b, h, w, ch = features.shape
-    g = g.astype(jnp.float32)
     d_feat = _run_bwd_feat(coords, g, h, w, features.dtype, interpret)
-    # Coordinate gradients: <g, W' @ f> per output pixel.
-    wdx = _run_fwd(features, coords, 1, 0, interpret)
-    wdy = _run_fwd(features, coords, 0, 1, interpret)
-    du = jnp.sum(g * wdx, axis=-1)
-    dv = jnp.sum(g * wdy, axis=-1)
-    return d_feat, jnp.stack([du, dv], axis=-1)
+    # Coordinate gradients <g, W' @ f>: the [B, P, C] tent-derivative
+    # products are reduced on-chip by the same kernel the fused
+    # warp-subtract backward uses — no full-size f32 tensors in HBM.
+    d_coords = _run_bwd_coords(coords, features, g, 1.0, interpret)
+    return d_feat, d_coords
 
 
 tent_warp.defvjp(_tent_warp_fwd, _tent_warp_bwd)

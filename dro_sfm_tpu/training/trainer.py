@@ -115,11 +115,24 @@ class Trainer:
             self.net = self.model_cfg.build_net()
         avail = n_dev // self.spatial
         bs = cfg.datasets.train.batch_size
-        dp = max(d for d in range(1, avail + 1)
-                 if bs % d == 0 and avail % d == 0)
+        if jax.process_count() > 1:
+            # Multi-process: every process must own shards of every jitted
+            # computation, so the mesh must span ALL devices — a subset
+            # mesh that excludes a host would leave that host's
+            # make_array_from_process_local_data with no destination.
+            dp = avail
+            if (bs * jax.process_count()) % dp:
+                raise ValueError(
+                    f"global batch {bs}*{jax.process_count()} must divide "
+                    f"by data-parallel width {dp} "
+                    f"({n_dev} devices / spatial_shards={self.spatial})")
+        else:
+            dp = max(d for d in range(1, avail + 1)
+                     if bs % d == 0 and avail % d == 0)
         self.mesh = make_mesh(jax.devices()[:dp * self.spatial],
                               data_parallel=dp)
         self._eval_meshes: Dict[int, object] = {}  # batch size -> local mesh
+        self._eval_vars: Dict[int, tuple] = {}     # batch size -> placed vars
         self.rng = jax.random.PRNGKey(cfg.arch.seed)
 
         # Datasets + loaders. Eval datasets stay separate per split entry
@@ -282,18 +295,24 @@ class Trainer:
             results.update({f"{k}-{i}": v for k, v in r.items()})
         return results
 
-    def _eval_arrays(self, arrays):
-        """Device placement for one eval batch.
+    def _eval_place(self, variables, arrays):
+        """Device placement for one eval batch -> (variables, arrays).
 
         Evaluation is host-local by design (per-host loader shards, local
         metrics, cross-host metric-sum reduction afterwards), so with
         spatial partitioning on, the batch is sharded over a mesh of THIS
         process's devices: heights over ``spatial``, samples over whatever
-        ``data`` width the batch size supports. Without spatial sharding
-        the jitted eval step's default placement is already correct.
+        ``data`` width the batch size supports. That mesh's device set can
+        differ from the train mesh's (eval batch sizes need not divide the
+        train data width; other hosts' devices are absent), and a jitted
+        computation requires params and inputs on the SAME devices — so the
+        (replicated, hence locally addressable) variables are re-placed
+        onto the eval mesh once per validate() pass. Without spatial
+        sharding the jitted eval step's default placement is already
+        correct and everything passes through untouched.
         """
         if self.spatial == 1:
-            return arrays
+            return variables, arrays
         bs = arrays["rgb"].shape[0]
         mesh = self._eval_meshes.get(bs)
         if mesh is None:
@@ -302,7 +321,15 @@ class Trainer:
             dp = max(d for d in range(1, avail + 1) if bs % d == 0)
             mesh = make_mesh(local[:dp * self.spatial], data_parallel=dp)
             self._eval_meshes[bs] = mesh
-        return shard_batch(arrays, mesh, spatial=True, local=True)
+        cached = self._eval_vars.get(bs)
+        if cached is None or cached[0] is not variables:
+            # keyed by the identity of this validate() pass's variables
+            # dict, so fresh params are re-placed and the copy is reused
+            # across the pass's batches.
+            from dro_sfm_tpu.parallel.mesh import replicated
+            cached = (variables, jax.device_put(variables, replicated(mesh)))
+            self._eval_vars[bs] = cached
+        return cached[1], shard_batch(arrays, mesh, spatial=True, local=True)
 
     def validate(self, loader=None, dataset_name: str = "validation",
                  save_artifacts: bool = False) -> Dict[str, float]:
@@ -322,7 +349,7 @@ class Trainer:
                 break  # preemption grace time is short; fit() saves now
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray) and k != "valid"}
-            out = self.eval_step(variables, self._eval_arrays(arrays))
+            out = self.eval_step(*self._eval_place(variables, arrays))
             if (self.logger and is_rank0()
                     and n_batches % img_interval == 0):
                 self.logger.log_depth_images(

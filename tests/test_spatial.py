@@ -185,8 +185,14 @@ def test_trainer_spatial_smoke(tmp_path):
     assert np.isfinite(out["avg_train-loss"])
     # Validation must shard its batches too (the too-big-for-one-chip
     # regime is exactly where eval would otherwise OOM).
-    sharded = trainer._eval_arrays(
-        {"rgb": np.zeros((2, 64, 96, 3), np.float32)})
+    variables = trainer.state.variables
+    # bs=1 forces a 2-device eval mesh — a strict subset of the 4-device
+    # train mesh the params live on; a jitted step needs params and batch
+    # on the SAME devices, so _eval_place must re-place the params.
+    placed_vars, sharded = trainer._eval_place(
+        variables, {"rgb": np.zeros((1, 64, 96, 3), np.float32)})
+    p0 = jax.tree_util.tree_leaves(placed_vars)[0]
+    assert len(p0.sharding.device_set) == 2, p0.sharding
     shard = sharded["rgb"].addressable_shards[0].data
     assert shard.shape[1] == 32, shard.shape        # height split over 2
     res = trainer.validate()
