@@ -53,6 +53,36 @@ def test_two_process_train_step_and_metric_reduce():
     assert vals[0] == vals[1], vals
 
 
+@pytest.mark.slow
+def test_two_process_trainer_fit(tmp_path):
+    """Full `Trainer.fit()` (config -> loaders -> sharded steps -> metric
+    reduce -> checkpoint) under a real 2-process `jax.distributed` run;
+    the cross-host-reduced validation metrics must agree bit-for-bit."""
+    nprocs = 2
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__), "_mp_trainer_worker.py")
+    env = {**os.environ, "JAX_PLATFORMS": "cpu"}
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, worker, str(i), str(nprocs), str(port),
+             str(tmp_path)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env)
+        for i in range(nprocs)
+    ]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed:\n{out}"
+        assert f"TRAINEROK {i}" in out, out
+    results = [(tmp_path / f"result_{i}.txt").read_text()
+               for i in range(nprocs)]
+    assert results[0] == results[1], results
+
+
 def test_launch_multihost_wires_maybe_init_distributed(tmp_path):
     """The launcher's env layout must be consumed by
     `maybe_init_distributed` (scripts/launch_multihost.py)."""
