@@ -113,6 +113,13 @@ class Trainer:
             self.model_cfg = dataclasses.replace(self.model_cfg,
                                                  warp_impl="matmul")
             self.net = self.model_cfg.build_net()
+            # Reflect the downgrade in the config so wandb logs and
+            # checkpoint-embedded configs record what actually ran.
+            cfg.model.depth_net.warp_impl = "matmul"
+            if is_rank0():
+                print("spatial_shards>1: warp_impl 'pallas' has no GSPMD "
+                      "partitioning rule — running the dense matmul warp "
+                      "(identical sampling semantics)")
         avail = n_dev // self.spatial
         bs = cfg.datasets.train.batch_size
         if jax.process_count() > 1:
@@ -132,7 +139,7 @@ class Trainer:
         self.mesh = make_mesh(jax.devices()[:dp * self.spatial],
                               data_parallel=dp)
         self._eval_meshes: Dict[int, object] = {}  # batch size -> local mesh
-        self._eval_vars: Dict[int, tuple] = {}     # batch size -> placed vars
+        self._eval_vars: Dict = {}  # {"step": opt step, bs: placed vars}
         self.rng = jax.random.PRNGKey(cfg.arch.seed)
 
         # Datasets + loaders. Eval datasets stay separate per split entry
@@ -226,6 +233,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def train_epoch(self, epoch: int) -> Dict[str, float]:
         self.train_loader.set_epoch(epoch)
+        self._eval_vars = {}  # release the eval-mesh param replica's HBM
         avg = AvgMeter(50)
         t0 = time.time()
         n_frames = 0
@@ -321,15 +329,25 @@ class Trainer:
             dp = max(d for d in range(1, avail + 1) if bs % d == 0)
             mesh = make_mesh(local[:dp * self.spatial], data_parallel=dp)
             self._eval_meshes[bs] = mesh
-        cached = self._eval_vars.get(bs)
-        if cached is None or cached[0] is not variables:
-            # keyed by the identity of this validate() pass's variables
-            # dict, so fresh params are re-placed and the copy is reused
-            # across the pass's batches.
+        # Placed-params cache, keyed by optimizer step: reused across the
+        # pass's batches and across eval datasets of one epoch, evicted
+        # when params advance (and at train_epoch start, to release the
+        # extra HBM replica while training).
+        step = int(self.state.step)
+        if self._eval_vars.get("step") != step:
+            self._eval_vars = {"step": step}
+        placed = self._eval_vars.get(bs)
+        if placed is None:
             from dro_sfm_tpu.parallel.mesh import replicated
-            cached = (variables, jax.device_put(variables, replicated(mesh)))
-            self._eval_vars[bs] = cached
-        return cached[1], shard_batch(arrays, mesh, spatial=True, local=True)
+            # Round-trip through host memory: post-training variables are
+            # committed to the global train mesh, and a direct device_put
+            # onto a host-local mesh is a cross-host transfer jax rejects
+            # on most backends. The params are fully replicated, so the
+            # host fetch is purely local.
+            host_vars = jax.tree_util.tree_map(np.asarray, variables)
+            placed = jax.device_put(host_vars, replicated(mesh))
+            self._eval_vars[bs] = placed
+        return placed, shard_batch(arrays, mesh, spatial=True, local=True)
 
     def validate(self, loader=None, dataset_name: str = "validation",
                  save_artifacts: bool = False) -> Dict[str, float]:

@@ -7,7 +7,8 @@ rank-0-gated checkpointing — under a real 2-process `jax.distributed`
 run. This is the integration layer the low-level `_mp_worker.py` test
 cannot cover (both trainer-mesh bugs found in review lived here).
 
-Usage: _mp_trainer_worker.py <process_id> <num_processes> <port> <tmpdir>
+Usage: _mp_trainer_worker.py <process_id> <num_processes> <port> <tmpdir> \
+           [spatial_shards]
 """
 import os
 import sys
@@ -16,6 +17,7 @@ proc_id = int(sys.argv[1])
 nprocs = int(sys.argv[2])
 port = sys.argv[3]
 tmpdir = sys.argv[4]
+spatial = int(sys.argv[5]) if len(sys.argv) > 5 else 1
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "")
@@ -37,7 +39,7 @@ from dro_sfm_tpu.utils.config import load_config  # noqa: E402
 
 cfg = load_config(overrides={
     "name": "mp_trainer",
-    "arch": {"max_epochs": 1, "seed": 42},
+    "arch": {"max_epochs": 1, "seed": 42, "spatial_shards": spatial},
     "checkpoint": {"filepath": os.path.join(tmpdir, "ckpt"),
                    "save_top_k": 1},
     "model": {
@@ -62,7 +64,8 @@ cfg = load_config(overrides={
 })
 
 trainer = Trainer(cfg)
-assert trainer.mesh.shape["data"] == 2 * nprocs, trainer.mesh.shape
+assert trainer.mesh.shape["data"] == 2 * nprocs // spatial, trainer.mesh.shape
+assert trainer.mesh.shape["spatial"] == spatial, trainer.mesh.shape
 metrics = trainer.fit()
 
 loss = metrics["avg_train-loss"]

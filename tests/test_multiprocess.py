@@ -54,10 +54,13 @@ def test_two_process_train_step_and_metric_reduce():
 
 
 @pytest.mark.slow
-def test_two_process_trainer_fit(tmp_path):
+@pytest.mark.parametrize("spatial", [1, 2])
+def test_two_process_trainer_fit(tmp_path, spatial):
     """Full `Trainer.fit()` (config -> loaders -> sharded steps -> metric
     reduce -> checkpoint) under a real 2-process `jax.distributed` run;
-    the cross-host-reduced validation metrics must agree bit-for-bit."""
+    the cross-host-reduced validation metrics must agree bit-for-bit.
+    spatial=2 additionally exercises multi-host spatial partitioning,
+    including validation's host-local eval-mesh param placement."""
     nprocs = 2
     port = _free_port()
     worker = os.path.join(os.path.dirname(__file__), "_mp_trainer_worker.py")
@@ -66,7 +69,7 @@ def test_two_process_trainer_fit(tmp_path):
     procs = [
         subprocess.Popen(
             [sys.executable, worker, str(i), str(nprocs), str(port),
-             str(tmp_path)],
+             str(tmp_path), str(spatial)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env)
         for i in range(nprocs)
