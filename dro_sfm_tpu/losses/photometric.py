@@ -49,6 +49,13 @@ class PhotometricLossConfig:
     # drop the coarsest remaining scale after every this fraction of
     # training (0 = off; `loss_base.py:40-77`)
     progressive_scaling: float = 0.0
+    # Orientation of the 1/2^i smoothness decay along the prediction axis.
+    # False (MF): predictions are refinement iterations ordered first ->
+    # last and the reference's own quirk weights the FIRST iteration
+    # fully. True (single-frame): predictions are decoder scales stacked
+    # coarsest-first, and the packnet-sfm convention weights the finest
+    # (LAST) scale fully.
+    smooth_finest_last: bool = False
 
 
 def warp_context(image_ctx: jnp.ndarray, inv_depths: jnp.ndarray,
@@ -77,7 +84,11 @@ def warp_context(image_ctx: jnp.ndarray, inv_depths: jnp.ndarray,
 
 def _photometric_residual(est: jnp.ndarray, ref: jnp.ndarray,
                           cfg: PhotometricLossConfig) -> jnp.ndarray:
-    """Per-pixel L1 + SSIM residual, channel-averaged -> [..., H, W, 1].
+    """Per-pixel L1 + SSIM residual for [P,B,N,H,W,3] inputs.
+
+    Channel-averaged -> [P,B,N,H,W,1] when SSIM is on; with
+    ``ssim_loss_weight == 0`` the raw 3-channel L1 is returned (the
+    reference keeps it 3-channel and lets the min-reduce span channels).
 
     Parity: `calc_photometric_loss` (`:194-229`).
     """
@@ -89,8 +100,12 @@ def _photometric_residual(est: jnp.ndarray, ref: jnp.ndarray,
     else:
         res = l1
     if cfg.clip_loss > 0.0:
-        # Clamp at mean + clip * std, computed per (prediction, view) map.
-        axes = (-3, -2, -1)
+        # Clamp at mean + clip * std. The reference pools the statistics
+        # over the WHOLE per-(prediction, view) tensor — batch included
+        # (`photometric_loss[i].mean()` on [B,C,H,W], `:223-227`) — so for
+        # the [P,B,N,H,W,C] layout only axes 0 (prediction) and 2 (view)
+        # are kept.
+        axes = (1,) + tuple(range(3, res.ndim))
         mean = res.mean(axis=axes, keepdims=True)
         std = res.std(axis=axes, keepdims=True)
         res = jnp.minimum(res, mean + cfg.clip_loss * std)
@@ -119,7 +134,10 @@ def smoothness_loss(inv_depths: jnp.ndarray, image: jnp.ndarray,
     wy = jnp.exp(-jnp.abs(gradient_y(image)).mean(axis=-1, keepdims=True))
     sx = (dx * wx[None]).mean(axis=tuple(range(1, dx.ndim)))  # [P]
     sy = (dy * wy[None]).mean(axis=tuple(range(1, dy.ndim)))
-    scale = 2.0 ** jnp.arange(p, dtype=inv_depths.dtype)
+    idx = jnp.arange(p, dtype=inv_depths.dtype)
+    if cfg.smooth_finest_last:
+        idx = (p - 1) - idx  # coarsest-first stacks: full weight at [-1]
+    scale = 2.0 ** idx
     per_pred = (sx + sy) / scale
     if mask is None:
         return per_pred.sum() / p
@@ -150,14 +168,22 @@ def multiview_photometric_loss(
         warped, jnp.broadcast_to(target, warped.shape), cfg)  # [P,B,N,H,W,1]
 
     if cfg.automask_loss:
-        # Identity (unwarped) residual per view, shared across predictions.
+        # Identity (unwarped) residual per view — prediction-independent,
+        # so computed once at P=1 and broadcast (not recomputed P times;
+        # its SSIM window reductions are the expensive part).
+        one = (1,) + warped.shape[1:]
         ident = _photometric_residual(
-            jnp.broadcast_to(context[None], warped.shape),
-            jnp.broadcast_to(target, warped.shape), cfg)
+            jnp.broadcast_to(context[None], one),
+            jnp.broadcast_to(target, one), cfg)
+        ident = jnp.broadcast_to(ident, residuals.shape)
         residuals = jnp.concatenate([residuals, ident], axis=2)
 
     if cfg.photometric_reduce_op == "min":
-        per_pred = residuals.min(axis=2).mean(axis=tuple(range(1, residuals.ndim - 1)))
+        # Joint minimum over views AND channels: the reference cats the
+        # per-view maps along the channel axis before the min (`:250`), so
+        # with SSIM off (3-channel residual) the min spans both; for the
+        # channel-averaged [...,1] residual the channel min is a no-op.
+        per_pred = residuals.min(axis=2).min(axis=-1).mean(axis=(1, 2, 3))
     elif cfg.photometric_reduce_op == "mean":
         per_pred = residuals.mean(axis=tuple(range(1, residuals.ndim)))
     else:

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from dro_sfm_tpu.geometry.camera import Camera
 from dro_sfm_tpu.geometry.pose import Pose
 from dro_sfm_tpu.losses.progressive import progressive_scale_mask
-from dro_sfm_tpu.ops.depth_ops import inv2depth
+from dro_sfm_tpu.ops.depth_ops import depth2inv, inv2depth
 
 
 @dataclasses.dataclass(frozen=True)
@@ -122,7 +122,7 @@ def supervised_depth_pose_loss(
 ) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
     """Combined supervised loss (`SupervisedDepthPoseLoss.forward`,
     `supervised_loss.py:328-371`)."""
-    gt_inv = depth2inv_safe(gt_depth)
+    gt_inv = depth2inv(gt_depth)
     loss_depth = supervised_depth_loss(inv_depths, gt_inv, cfg, progress)
     loss_pose = supervised_pose_loss(pose_vecs, gt_pose_context, gt_depth, K,
                                      cfg, progress)
@@ -132,12 +132,6 @@ def supervised_depth_pose_loss(
         "pose_loss": loss_pose,
         "all_loss": loss,
     }
-
-
-def depth2inv_safe(depth: jnp.ndarray) -> jnp.ndarray:
-    """Depth -> inverse depth, zeros preserved (`utils/depth.py:124-144`)."""
-    inv = 1.0 / jnp.maximum(depth, 1e-6)
-    return jnp.where(depth <= 0.0, 0.0, inv)
 
 
 # ---------------------------------------------------------------------------

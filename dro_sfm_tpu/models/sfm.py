@@ -105,7 +105,8 @@ class SfmModelConfig:
             self.photometric, progressive_scaling=self.progressive_scaling)
         if self.single_frame:
             return dataclasses.replace(photometric, gamma=1.0,
-                                       normalize_weights=True)
+                                       normalize_weights=True,
+                                       smooth_finest_last=True)
         return photometric
 
 

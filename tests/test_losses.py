@@ -121,3 +121,75 @@ def test_automask_suppresses_static_pixels(rng):
     loss, _ = multiview_photometric_loss(
         img, ctx, inv_depths, make_K(b, h, w), poses, cfg)
     assert float(loss) < 1e-5
+
+
+def test_min_reduce_spans_channels_when_ssim_off(rng):
+    """With ssim_loss_weight=0 the residual stays 3-channel and the
+    reference cats views along the channel axis before the min
+    (`multiview_photometric_loss_mf.py:250`) — a joint minimum over views
+    AND channels, not a channel mean of per-view minima."""
+    from dro_sfm_tpu.losses.photometric import _photometric_residual
+
+    b, n, h, w = 1, 2, 8, 8
+    cfg = PhotometricLossConfig(ssim_loss_weight=0.0, automask_loss=False,
+                                smooth_loss_weight=0.0, clip_loss=0.0)
+    est = jnp.asarray(rng.uniform(size=(1, b, n, h, w, 3)), jnp.float32)
+    ref = jnp.asarray(rng.uniform(size=(1, b, 1, h, w, 3)), jnp.float32)
+    res = _photometric_residual(est, jnp.broadcast_to(ref, est.shape), cfg)
+    assert res.shape[-1] == 3  # stays 3-channel with SSIM off
+
+    image = np.asarray(ref[0, :, 0])
+    context = np.asarray(est[0])
+    inv_depths = jnp.ones((1, b, h, w, 1), jnp.float32)
+    pose = jnp.zeros((b, n, 1, 6), jnp.float32)
+    loss, _ = multiview_photometric_loss(
+        jnp.asarray(image), jnp.asarray(context), inv_depths,
+        make_K(b, h, w), pose, cfg)
+    # identity pose + unit depth warp is (nearly) the identity resample:
+    # expected = mean over pixels of min over (views, channels) of |diff|
+    diff = np.abs(context - image[:, None]).transpose(
+        0, 2, 3, 1, 4).reshape(b, h, w, -1)
+    # ^ [B,N,H,W,3] -> [B,H,W,N*3]
+    expected = diff.min(axis=-1).mean()
+    np.testing.assert_allclose(float(loss), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_clip_loss_pools_statistics_over_batch(rng):
+    """clip_loss thresholds use mean/std pooled over the whole
+    per-(prediction, view) tensor, batch included (`:223-227`)."""
+    from dro_sfm_tpu.losses.photometric import _photometric_residual
+
+    cfg = PhotometricLossConfig(ssim_loss_weight=0.0, clip_loss=0.5)
+    p, b, n, h, w = 1, 3, 1, 6, 6
+    est = jnp.asarray(rng.uniform(size=(p, b, n, h, w, 3)), jnp.float32)
+    ref = jnp.zeros_like(est)
+    res = np.asarray(_photometric_residual(est, ref, cfg))
+    raw = np.abs(np.asarray(est))
+    thresh = raw.mean() + 0.5 * raw.std()  # pooled over batch too
+    np.testing.assert_allclose(res, np.minimum(raw, thresh),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_smoothness_orientation_single_frame():
+    """smooth_finest_last weights the LAST stacked prediction fully —
+    the packnet-sfm convention for coarsest-first single-frame stacks."""
+    from dro_sfm_tpu.losses.photometric import smoothness_loss
+
+    rng_l = np.random.default_rng(0)
+    p, b, h, w = 3, 1, 8, 8
+    image = jnp.asarray(rng_l.uniform(size=(b, h, w, 3)), jnp.float32)
+    rough = rng_l.uniform(size=(b, h, w, 1)).astype(np.float32)
+    # only prediction k is rough; all others constant (zero smoothness)
+    losses = {}
+    for mode in (False, True):
+        cfg = PhotometricLossConfig(smooth_finest_last=mode)
+        per_k = []
+        for k in range(p):
+            stack = np.ones((p, b, h, w, 1), np.float32)
+            stack[k] += rough
+            per_k.append(float(smoothness_loss(jnp.asarray(stack), image,
+                                               cfg)))
+        losses[mode] = per_k
+    # MF orientation: first prediction weighted most; SF: last most.
+    assert losses[False][0] > losses[False][-1]
+    assert losses[True][-1] > losses[True][0]
