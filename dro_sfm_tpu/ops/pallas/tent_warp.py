@@ -149,13 +149,14 @@ def _fwd_diff_kernel(coords_ref, feat_ref, f1_ref, out_ref, *, h, w,
     out_ref[0] = (f1_ref[0].astype(jnp.float32) - warped).astype(out_dtype)
 
 
-def _bwd_coords_kernel(coords_ref, feat_ref, g_ref, du_ref, dv_ref, *, h, w,
+def _bwd_coords_kernel(coords_ref, feat_ref, g_ref, duv_ref, *, h, w,
                        compute_dtype, sign=1.0):
     """Coordinate gradient with the [P, C] tent-derivative products reduced
     on-chip: d_coords[p] = sign * <g[p, :], (W' @ F)[p, :]> for both the x-
     and y-derivative tents. Replaces two full-size f32 product tensors in
-    HBM with per-strip epilogue reductions (du/dv as separate [P] outputs
-    so the pixel axis stays on the vector lanes)."""
+    HBM with per-strip epilogue reductions. du/dv leave as one [TILE, 2]
+    block — the trailing size-2 axis matches the output array's, the only
+    strip-sized block shape Mosaic accepts for this output."""
     q = _qgrid(feat_ref.shape[1], h, w)
     c = coords_ref[0]
     f = feat_ref[0].astype(compute_dtype)              # [p_pad, C]
@@ -165,8 +166,8 @@ def _bwd_coords_kernel(coords_ref, feat_ref, g_ref, du_ref, dv_ref, *, h, w,
                  preferred_element_type=jnp.float32, precision=prec)
     py = jnp.dot(_strip_weights(c, q, 0, 1, compute_dtype), f,
                  preferred_element_type=jnp.float32, precision=prec)
-    du_ref[0] = jnp.sum(px * g, axis=-1)
-    dv_ref[0] = jnp.sum(py * g, axis=-1)
+    duv_ref[0] = jnp.stack(
+        [jnp.sum(px * g, axis=-1), jnp.sum(py * g, axis=-1)], axis=-1)
 
 
 def _run_fwd_diff(f1, features, coords, n_views, interpret):
@@ -197,22 +198,19 @@ def _run_bwd_coords(coords, features, g, sign, interpret):
     bn, h, w, ch = features.shape
     p = coords.shape[1]
     flat, p_pad, compute_dtype = _flatten_pad(features)
-    du, dv = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_bwd_coords_kernel, h=h, w=w,
                           compute_dtype=compute_dtype, sign=sign),
-        out_shape=[jax.ShapeDtypeStruct((bn, p), jnp.float32),
-                   jax.ShapeDtypeStruct((bn, p), jnp.float32)],
+        out_shape=jax.ShapeDtypeStruct((bn, p, 2), jnp.float32),
         grid=(bn, p // TILE),
         in_specs=[
             pl.BlockSpec((1, TILE, 2), lambda i, t: (i, t, 0)),
             pl.BlockSpec((1, p_pad, ch), lambda i, t: (i, 0, 0)),
             pl.BlockSpec((1, TILE, ch), lambda i, t: (i, t, 0)),
         ],
-        out_specs=[pl.BlockSpec((1, TILE), lambda i, t: (i, t)),
-                   pl.BlockSpec((1, TILE), lambda i, t: (i, t))],
+        out_specs=pl.BlockSpec((1, TILE, 2), lambda i, t: (i, t, 0)),
         interpret=interpret,
     )(coords, flat, g)
-    return jnp.stack([du, dv], axis=-1)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
