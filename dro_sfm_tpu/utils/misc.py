@@ -91,3 +91,29 @@ def apply_platform_env() -> None:
             import warnings
             warnings.warn(
                 f"DRO_SFM_PLATFORM={plat!r} could not be applied: {e}")
+    enable_compilation_cache()
+
+
+def enable_compilation_cache() -> None:
+    """Turn on JAX's persistent compilation cache for the CLIs.
+
+    Fresh XLA programs take minutes to compile on this backend, and a
+    multi-dataset validation sweep compiles one eval program per input
+    shape. The persistent cache turns every repeat run into a disk hit.
+    Defaults to ``~/.cache/dro_sfm_tpu/jax_cache``; an explicitly set
+    ``JAX_COMPILATION_CACHE_DIR`` (including the empty string, meaning
+    "off") always wins, so this is only a default, not an override.
+    """
+    import os
+    if "JAX_COMPILATION_CACHE_DIR" in os.environ:
+        return  # user decision (empty string disables)
+    path = os.path.expanduser("~/.cache/dro_sfm_tpu/jax_cache")
+    import jax
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        # Cache even fast compiles: with the remote-compile relay the
+        # wall-clock cost is dominated by the round-trip, which the
+        # default 1 s floor (measured compile time) underestimates.
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    except Exception:
+        pass  # older jax without the knob: silently skip the default

@@ -176,3 +176,24 @@ def test_checkpoint_sync_catches_up_off_schedule_saves(tmp_path):
         assert mgr._sync_pending is False
     finally:
         ckpt_mod.save_checkpoint = orig
+
+
+def test_compilation_cache_default(monkeypatch):
+    """CLIs default the persistent compile cache on; an explicit env var
+    (even empty = disabled) is never overridden."""
+    import jax
+
+    from dro_sfm_tpu.utils.misc import enable_compilation_cache
+
+    orig = jax.config.jax_compilation_cache_dir
+    try:
+        monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir.endswith("jax_cache")
+
+        jax.config.update("jax_compilation_cache_dir", "/explicit")
+        monkeypatch.setenv("JAX_COMPILATION_CACHE_DIR", "")
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == "/explicit"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", orig)
