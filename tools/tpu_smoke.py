@@ -23,10 +23,13 @@ Run it after ANY kernel edit, before trusting the suite:
 Exits non-zero on the first failing case with the lowering error.
 """
 import argparse
+import os
 import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _cases(fast: bool):
