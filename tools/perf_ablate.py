@@ -147,9 +147,13 @@ def main():
     ap.add_argument("--out", default="results/perf_ablate.jsonl")
     ap.add_argument("--only", default="",
                     help="comma-separated variant names to run")
+    ap.add_argument("--image-shape", type=int, nargs=2, default=(192, 640),
+                    metavar=("H", "W"),
+                    help="operating-point resolution (reference KITTI "
+                         "recipe: 320 960)")
     args = ap.parse_args()
 
-    n, h, w = args.views, 192, 640
+    n, (h, w) = args.views, args.image_shape
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
 
     only = set(filter(None, args.only.split(",")))
