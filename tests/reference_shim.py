@@ -162,11 +162,43 @@ def install() -> None:
             sys.modules["yacs"] = yacs_mod
             sys.modules["yacs.config"] = yacs_cfg
 
+    if "numpy.lib.type_check" not in sys.modules:
+        # numpy 2.x removed `numpy.lib.type_check`; the reference's
+        # photometric loss has a dead `from numpy.lib.type_check import
+        # imag` at `losses/multiview_photometric_loss_mf.py:2`.
+        tc = types.ModuleType("numpy.lib.type_check")
+        tc.imag = np.imag
+        tc.real = np.real
+        sys.modules["numpy.lib.type_check"] = tc
+
     import torch.utils.model_zoo as model_zoo
     model_zoo.load_url = lambda url, **kw: _fake_resnet18_state_dict()
 
     if REFERENCE_ROOT not in sys.path:
         sys.path.insert(0, REFERENCE_ROOT)
+
+
+def patch_cpu_device() -> None:
+    """Make the reference geometry CPU-safe.
+
+    `MultiViewPhotometricDecayLoss.warp_ref_image` moves cameras to
+    `ref_image.get_device()` (`multiview_photometric_loss_mf.py:156-163`),
+    which is -1 for CPU tensors and crashes `Tensor.to`. Wrap `Camera.to`
+    to treat a negative device index as "stay put" so the loss oracle runs
+    on CPU. Idempotent."""
+    install()
+    from dro_sfm.geometry import camera as ref_camera
+    if getattr(ref_camera.Camera.to, "__is_cpu_patch__", False):
+        return
+    orig = ref_camera.Camera.to
+
+    def to(self, *args, **kwargs):
+        if args and isinstance(args[0], int) and args[0] < 0:
+            return self
+        return orig(self, *args, **kwargs)
+
+    to.__is_cpu_patch__ = True
+    ref_camera.Camera.to = to
 
 
 def load_reference_depth_pose_net(version: str, min_depth: float = 0.1,
