@@ -111,9 +111,16 @@ def enable_compilation_cache() -> None:
     import jax
     try:
         jax.config.update("jax_compilation_cache_dir", path)
+    except Exception as e:
+        # A failed cache-dir set must be loud (matches the platform-pin
+        # policy above): the CLI would otherwise recompile every run.
+        import warnings
+        warnings.warn(f"persistent compilation cache could not be enabled: {e}")
+        return
+    try:
         # Cache even fast compiles: with the remote-compile relay the
         # wall-clock cost is dominated by the round-trip, which the
         # default 1 s floor (measured compile time) underestimates.
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     except Exception:
-        pass  # older jax without the knob: silently skip the default
+        pass  # older jax without the knob: keep the cache-dir default

@@ -186,6 +186,7 @@ def test_compilation_cache_default(monkeypatch):
     from dro_sfm_tpu.utils.misc import enable_compilation_cache
 
     orig = jax.config.jax_compilation_cache_dir
+    orig_min_secs = jax.config.jax_persistent_cache_min_compile_time_secs
     try:
         monkeypatch.delenv("JAX_COMPILATION_CACHE_DIR", raising=False)
         enable_compilation_cache()
@@ -197,3 +198,5 @@ def test_compilation_cache_default(monkeypatch):
         assert jax.config.jax_compilation_cache_dir == "/explicit"
     finally:
         jax.config.update("jax_compilation_cache_dir", orig)
+        jax.config.update(
+            "jax_persistent_cache_min_compile_time_secs", orig_min_secs)
