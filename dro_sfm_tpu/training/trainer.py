@@ -145,22 +145,34 @@ class Trainer:
         # Datasets + loaders. Eval datasets stay separate per split entry
         # (`model_wrapper.py:105-130`): one loader + metric prefix each.
         aug = cfg.datasets.augmentation
-        self.train_dataset = setup_dataset(cfg.datasets.train, aug, "train")
-        self.val_datasets = setup_dataset(cfg.datasets.validation, aug,
-                                          "validation")
+        # Train data is optional: eval-only runs (scripts/eval.py on a
+        # converted reference ckpt, tools/eval_reference_ckpt.py) have no
+        # training data on the machine — reference analogue:
+        # `ModelWrapper(load_datasets=False)` eval paths.
+        self.train_dataset = None
+        self.train_loader = None
+        if cfg.datasets.train.dataset:
+            self.train_dataset = setup_dataset(cfg.datasets.train, aug,
+                                               "train")
+        self.val_datasets = (
+            setup_dataset(cfg.datasets.validation, aug, "validation")
+            if cfg.datasets.validation.dataset else [])
         self.test_datasets = None
         if cfg.datasets.test.dataset:
             self.test_datasets = setup_dataset(cfg.datasets.test, aug, "test")
-        self.train_loader = make_loader(
-            self.train_dataset, cfg.datasets.train.batch_size, "train",
-            num_workers=cfg.datasets.train.num_workers, seed=cfg.arch.seed)
+        if self.train_dataset is not None:
+            self.train_loader = make_loader(
+                self.train_dataset, cfg.datasets.train.batch_size, "train",
+                num_workers=cfg.datasets.train.num_workers,
+                seed=cfg.arch.seed)
         self.val_loaders = [
             make_loader(ds, cfg.datasets.validation.batch_size, "validation",
                         num_workers=cfg.datasets.validation.num_workers)
             for ds in self.val_datasets]
 
         # Optimizer / state
-        steps_per_epoch = max(1, len(self.train_loader))
+        steps_per_epoch = (max(1, len(self.train_loader))
+                           if self.train_loader is not None else 1)
         self.tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
                                  steps_per_epoch)
         # per-group schedules, re-evaluated for logger lr reporting (the
@@ -203,11 +215,12 @@ class Trainer:
             # `model_wrapper.py:102-103`).
             self.current_epoch = int(restored["meta"].get("epoch", -1)) + 1
 
-        # Jitted steps
+        # Jitted steps. Eval steps are built lazily per demon_scaling flag:
+        # the reference applies translation-normalized GT scaling per eval
+        # dataset (`model_wrapper.py:383-384`), so a mixed Demon+ScanNet
+        # validation list must NOT share one globally-flagged step.
         self.train_step = make_train_step(self.model_cfg, self.net)
-        demon = ("Demon" in list(cfg.datasets.validation.dataset))
-        self.eval_step = make_eval_step(self.model_cfg, self.net,
-                                        self.metrics_cfg, demon_scaling=demon)
+        self._eval_steps: Dict[bool, object] = {}
 
         self.checkpointer = CheckpointManager(
             cfg.checkpoint.filepath, monitor=cfg.checkpoint.monitor,
@@ -224,7 +237,13 @@ class Trainer:
 
     # ------------------------------------------------------------------
     def _sample_batch(self):
-        s = self.train_dataset[0]
+        if self.train_dataset is not None:
+            s = self.train_dataset[0]
+        elif self.val_datasets:
+            s = self.val_datasets[0][0]
+        else:
+            assert self.test_datasets, "no dataset to shape-init from"
+            s = self.test_datasets[0][0]
         batch = {k: jnp.asarray(np.asarray(v)[None])
                  for k, v in s.items()
                  if k in ("rgb", "rgb_context", "intrinsics")}
@@ -294,10 +313,13 @@ class Trainer:
         results: Dict[str, float] = {}
         for i, loader in enumerate(loaders):
             section = self.cfg.datasets[split]
-            name = f"{section.dataset[i]}-{section.split[i]}" \
+            ds_name = (section.dataset[i] if i < len(section.dataset)
+                       else "")
+            name = f"{ds_name}-{section.split[i]}" \
                 if i < len(section.dataset) else f"{split}-{i}"
             r = self.validate(loader, dataset_name=name,
-                              save_artifacts=save_artifacts)
+                              save_artifacts=save_artifacts,
+                              demon_scaling=(ds_name == "Demon"))
             if i == 0:
                 results.update(r)
             results.update({f"{k}-{i}": v for k, v in r.items()})
@@ -349,9 +371,20 @@ class Trainer:
             self._eval_vars[bs] = placed
         return placed, shard_batch(arrays, mesh, spatial=True, local=True)
 
+    def eval_step_for(self, demon_scaling: bool = False):
+        """The jitted eval step for one dataset's metric mode (cached)."""
+        step = self._eval_steps.get(demon_scaling)
+        if step is None:
+            step = make_eval_step(self.model_cfg, self.net, self.metrics_cfg,
+                                  demon_scaling=demon_scaling)
+            self._eval_steps[demon_scaling] = step
+        return step
+
     def validate(self, loader=None, dataset_name: str = "validation",
-                 save_artifacts: bool = False) -> Dict[str, float]:
+                 save_artifacts: bool = False,
+                 demon_scaling: bool = False) -> Dict[str, float]:
         loader = loader or self.val_loaders[0]
+        eval_step = self.eval_step_for(demon_scaling)
         variables = self.state.variables
         sums = {m: np.zeros(9) for m in METRIC_MODES}
         pose_sum = np.zeros(3)
@@ -367,7 +400,7 @@ class Trainer:
                 break  # preemption grace time is short; fit() saves now
             arrays = {k: v for k, v in batch.items()
                       if isinstance(v, np.ndarray) and k != "valid"}
-            out = self.eval_step(*self._eval_place(variables, arrays))
+            out = eval_step(*self._eval_place(variables, arrays))
             if (self.logger and is_rank0()
                     and n_batches % img_interval == 0):
                 self.logger.log_depth_images(
@@ -472,6 +505,9 @@ class Trainer:
                      f"resume with train.py {path}", "yellow"), flush=True)
 
     def fit(self) -> Dict[str, float]:
+        if self.train_loader is None:
+            raise ValueError("fit() requires datasets.train.dataset; this "
+                             "trainer was built eval-only")
         cfg = self.cfg
         metrics: Dict[str, float] = {}
         # Fresh fit = fresh intent: a caller re-invoking fit() after a

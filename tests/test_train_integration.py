@@ -114,6 +114,59 @@ def test_eval_step_modes():
 
 
 @pytest.mark.slow
+def test_demon_scaling_dispatched_per_dataset(tmp_path):
+    """Mixed validation lists apply demon scaling only to the Demon entry
+    (ref `model_wrapper.py:383-384` scales per eval dataset; round-2's
+    single trainer-global flag mis-scaled every co-validated dataset)."""
+    from dro_sfm_tpu.training.trainer import Trainer
+
+    cfg = load_config(overrides={
+        "name": "demon_dispatch",
+        "arch": {"max_epochs": 1},
+        "checkpoint": {"filepath": str(tmp_path / "ckpt"), "save_top_k": 1},
+        "model": {
+            "name": "SupModelMF",
+            "depth_net": {"name": "DepthPoseNet", "version": "it4-h-out"},
+            "params": {"crop": "", "min_depth": 0.2, "max_depth": 20.0},
+            "loss": {"flip_lr_prob": 0.0},
+        },
+        "datasets": {
+            "augmentation": {"image_shape": (64, 96)},
+            "train": {"batch_size": 2, "num_workers": 0,
+                      "dataset": ["Synthetic"], "path": ["0"],
+                      "split": ["2"], "back_context": 1,
+                      "forward_context": 1},
+            "validation": {"batch_size": 2, "num_workers": 0,
+                           "dataset": ["Synthetic", "Synthetic"],
+                           "path": ["1", "2"], "split": ["2", "2"],
+                           "back_context": 1, "forward_context": 1},
+            "test": {"dataset": [], "path": [], "split": []},
+        },
+    })
+    trainer = Trainer(cfg)
+    # The eval-step cache builds one jitted step per scaling mode.
+    assert trainer.eval_step_for(False) is trainer.eval_step_for(False)
+    assert trainer.eval_step_for(True) is not trainer.eval_step_for(False)
+
+    # Present the second Synthetic dataset as 'Demon' to the dispatcher:
+    # validate_all must request demon scaling for it and ONLY it.
+    trainer.cfg.datasets.validation.dataset = ["Synthetic", "Demon"]
+    seen = []
+    orig_validate = trainer.validate
+
+    def spy(loader=None, dataset_name="validation", save_artifacts=False,
+            demon_scaling=False):
+        seen.append((dataset_name, demon_scaling))
+        return orig_validate(loader, dataset_name=dataset_name,
+                             save_artifacts=save_artifacts,
+                             demon_scaling=demon_scaling)
+
+    trainer.validate = spy
+    trainer.validate_all()
+    assert seen == [("Synthetic-2", False), ("Demon-2", True)]
+
+
+@pytest.mark.slow
 def test_resume_exactness(tmp_path):
     """Checkpoint -> restore reproduces params, optimizer state and step
     exactly, and the Trainer resumes at the next epoch."""
