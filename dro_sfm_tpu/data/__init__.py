@@ -49,8 +49,8 @@ def setup_dataset(section, augmentation, mode: str) -> Dataset:
     # Import for registration side effects; tolerate partial builds while the
     # full reader set lands.
     import importlib
-    for mod in ("kitti", "scannet", "demon", "demon_mf", "matterport", "nyu",
-                "video", "extra", "dgp"):
+    for mod in ("kitti", "scannet", "banet", "demon", "demon_mf",
+                "matterport", "nyu", "video", "extra", "dgp"):
         try:
             importlib.import_module(f"dro_sfm_tpu.data.{mod}")
         except ImportError:

@@ -1,13 +1,8 @@
-"""Remaining dataset registrations: BA-split variants, DGP stub.
+"""Remaining dataset registrations.
 
-* `ScannetBA` / `MatterportBA`: BA-Net-style splits
-  (`/root/reference/dro_sfm/datasets/scannet_banet_dataset.py:68`,
-  `matterport_banet_dataset.py`) enumerate explicit target+context tuples
-  per line. The tuple-based reader (`ScannetTestDataset`) covers that
-  capability directly; the reference's offset-derivation from paired BA-Net
-  lists is reproduced at split-generation time (see
-  `tools/generate_splits.py`), not at load time.
-* `ScannetTestMF` maps to the same reader (in the reference this name is a
+* `ScannetBA` / `MatterportBA` live in `dro_sfm_tpu.data.banet`: a real
+  load-time parser of the reference's paired BA-Net split format.
+* `ScannetTestMF` maps to the tuple reader (in the reference this name is a
   dead branch importing a nonexistent module, `model_wrapper.py:718-724`).
 * `DGP` lives in `dro_sfm_tpu.data.dgp` — a self-contained parser of the
   public DGP JSON scene format (no external `dgp` package needed).
@@ -27,8 +22,6 @@ def _tuple_factory(path, split, mode, image_shape, jittering, section):
         image_shape=image_shape, jittering=())
 
 
-register_dataset("ScannetBA")(_tuple_factory)
-register_dataset("MatterportBA")(_tuple_factory)
 register_dataset("ScannetTestMF")(_tuple_factory)
 
 
