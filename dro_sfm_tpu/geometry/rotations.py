@@ -175,8 +175,9 @@ def standardize_quaternion(quat: jnp.ndarray) -> jnp.ndarray:
     return jnp.where(quat[..., :1] < 0, -quat, quat)
 
 
-def quaternion_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
-    """Hamilton product of quaternions [..., 4] (w, x, y, z)."""
+def quaternion_raw_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product of quaternions [..., 4] (w, x, y, z), unnormalized
+    sign (`pose_trans.py:346-365`)."""
     aw, ax, ay, az = a[..., 0], a[..., 1], a[..., 2], a[..., 3]
     bw, bx, by, bz = b[..., 0], b[..., 1], b[..., 2], b[..., 3]
     return jnp.stack(
@@ -190,17 +191,134 @@ def quaternion_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def quaternion_multiply(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Hamilton product with a standardized (non-negative real part) result
+    (`pose_trans.py:368-383`)."""
+    return standardize_quaternion(quaternion_raw_multiply(a, b))
+
+
 def quaternion_invert(quat: jnp.ndarray) -> jnp.ndarray:
     """Conjugate of unit quaternions [..., 4]."""
     return quat * jnp.array([1.0, -1.0, -1.0, -1.0], dtype=quat.dtype)
 
 
 def quaternion_apply(quat: jnp.ndarray, point: jnp.ndarray) -> jnp.ndarray:
-    """Rotate points [..., 3] by unit quaternions [..., 4]."""
+    """Rotate points [..., 3] by unit quaternions [..., 4]
+    (`pose_trans.py:403-424`: raw products — standardizing mid-chain would
+    flip the intermediate's vector part)."""
     zeros = jnp.zeros_like(point[..., :1])
     p = jnp.concatenate([zeros, point], axis=-1)
-    out = quaternion_multiply(quaternion_multiply(quat, p), quaternion_invert(quat))
+    out = quaternion_raw_multiply(quaternion_raw_multiply(quat, p),
+                                  quaternion_invert(quat))
     return out[..., 1:]
+
+
+# ---------------------------------------------------------------------------
+# Arbitrary euler conventions (parity: pose_trans.py:122-258)
+# ---------------------------------------------------------------------------
+
+_AXIS_INDEX = {"X": 0, "Y": 1, "Z": 2}
+
+
+def _validate_convention(convention: str) -> None:
+    if len(convention) != 3:
+        raise ValueError("Convention must have 3 letters.")
+    if convention[1] in (convention[0], convention[2]):
+        raise ValueError(f"Invalid convention {convention}.")
+    for letter in convention:
+        if letter not in _AXIS_INDEX:
+            raise ValueError(f"Invalid letter {letter} in convention string.")
+
+
+def _single_axis_rotation(axis: str, angle: jnp.ndarray) -> jnp.ndarray:
+    """Rotation about one coordinate axis; angle [...] -> [..., 3, 3]."""
+    c, s = jnp.cos(angle), jnp.sin(angle)
+    one, zero = jnp.ones_like(angle), jnp.zeros_like(angle)
+    if axis == "X":
+        return _stack33(one, zero, zero, zero, c, -s, zero, s, c)
+    if axis == "Y":
+        return _stack33(c, zero, s, zero, one, zero, -s, zero, c)
+    return _stack33(c, -s, zero, s, c, zero, zero, zero, one)
+
+
+def euler_angles_to_matrix(euler_angles: jnp.ndarray,
+                           convention: str) -> jnp.ndarray:
+    """Euler angles [..., 3] under any 3-letter convention -> [..., 3, 3].
+
+    `angles[..., i]` rotates about axis `convention[i]`; the matrices
+    compose left-to-right (R = R0 @ R1 @ R2), matching
+    `pose_trans.py:150-173`. `convention` is static (Python string), so the
+    function stays jittable per convention.
+    """
+    _validate_convention(convention)
+    if euler_angles.shape[-1] != 3:
+        raise ValueError("Invalid input euler angles.")
+    r0 = _single_axis_rotation(convention[0], euler_angles[..., 0])
+    r1 = _single_axis_rotation(convention[1], euler_angles[..., 1])
+    r2 = _single_axis_rotation(convention[2], euler_angles[..., 2])
+    return r0 @ r1 @ r2
+
+
+def _angle_from_tan(axis: str, other_axis: str, data: jnp.ndarray,
+                    horizontal: bool, tait_bryan: bool) -> jnp.ndarray:
+    """First/third euler angle from the matrix entries that are constant
+    multiples of its sine and cosine (`pose_trans.py:176-206`)."""
+    i1, i2 = {"X": (2, 1), "Y": (0, 2), "Z": (1, 0)}[axis]
+    if horizontal:
+        i2, i1 = i1, i2
+    even = (axis + other_axis) in ("XY", "YZ", "ZX")
+    if horizontal == even:
+        return jnp.arctan2(data[..., i1], data[..., i2])
+    if tait_bryan:
+        return jnp.arctan2(-data[..., i2], data[..., i1])
+    return jnp.arctan2(data[..., i2], -data[..., i1])
+
+
+def matrix_to_euler_angles(mat: jnp.ndarray, convention: str) -> jnp.ndarray:
+    """Rotation matrices [..., 3, 3] -> euler angles [..., 3] under any
+    3-letter convention (`pose_trans.py:218-258`). Inverse of
+    :func:`euler_angles_to_matrix` away from gimbal lock."""
+    _validate_convention(convention)
+    if mat.shape[-2:] != (3, 3):
+        raise ValueError(f"Invalid rotation matrix shape {mat.shape}.")
+    i0 = _AXIS_INDEX[convention[0]]
+    i2 = _AXIS_INDEX[convention[2]]
+    tait_bryan = i0 != i2
+    if tait_bryan:
+        central = jnp.arcsin(
+            jnp.clip(mat[..., i0, i2] * (-1.0 if i0 - i2 in (-1, 2) else 1.0),
+                     -1.0, 1.0))
+    else:
+        central = jnp.arccos(jnp.clip(mat[..., i0, i0], -1.0, 1.0))
+    first = _angle_from_tan(convention[0], convention[1], mat[..., i2],
+                            False, tait_bryan)
+    third = _angle_from_tan(convention[2], convention[1], mat[..., i0, :],
+                            True, tait_bryan)
+    return jnp.stack([first, central, third], axis=-1)
+
+
+# ---------------------------------------------------------------------------
+# Random rotations (parity: pose_trans.py:261-327; jax-idiomatic explicit
+# PRNG keys instead of the global torch generator)
+# ---------------------------------------------------------------------------
+
+def random_quaternions(key, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[n, 4] uniform random unit quaternions with non-negative real part."""
+    import jax
+    o = jax.random.normal(key, (n, 4), dtype)
+    norm = jnp.sqrt(jnp.sum(o * o, axis=1))
+    signed = jnp.where(o[:, 0] < 0, -norm, norm)
+    return o / signed[:, None]
+
+
+def random_rotations(key, n: int, dtype=jnp.float32) -> jnp.ndarray:
+    """[n, 3, 3] uniform random rotation matrices."""
+    return quaternion_to_matrix(random_quaternions(key, n, dtype))
+
+
+def random_rotation(key, dtype=jnp.float32) -> jnp.ndarray:
+    """A single [3, 3] uniform random rotation matrix."""
+    return random_rotations(key, 1, dtype)[0]
 
 
 # ---------------------------------------------------------------------------

@@ -105,3 +105,97 @@ def test_matches_torch_reference_convention(mode, rng):
         t = theta[..., None]
         expected = np.eye(3) + np.sin(t) * K + (1 - np.cos(t)) * (K @ K)
         np.testing.assert_allclose(np.asarray(ours), expected.astype(np.float32), atol=1e-5)
+
+
+# ---------------------------------------------------------------------------
+# Live-oracle tests vs the reference's vendored pytorch3d library
+# (`/root/reference/dro_sfm/geometry/pose_trans.py`), VERDICT r2 item 10.
+# ---------------------------------------------------------------------------
+
+ALL_CONVENTIONS = ["XYZ", "XZY", "YXZ", "YZX", "ZXY", "ZYX",
+                   "XYX", "XZX", "YXY", "YZY", "ZXZ", "ZYZ"]
+
+
+def _ref_pose_trans():
+    torch = pytest.importorskip("torch")
+    from tests.reference_shim import install
+    install()
+    from dro_sfm.geometry import pose_trans
+    return torch, pose_trans
+
+
+@pytest.mark.parametrize("convention", ALL_CONVENTIONS)
+def test_euler_convention_matches_reference(convention, rng):
+    """euler_angles_to_matrix agrees with the reference for every valid
+    axis order (6 Tait-Bryan + 6 proper euler)."""
+    torch, pt = _ref_pose_trans()
+    ang = rng.uniform(-1.3, 1.3, size=(8, 3)).astype(np.float32)
+    ours = np.asarray(R.euler_angles_to_matrix(jnp.asarray(ang), convention))
+    ref = pt.euler_angles_to_matrix(torch.from_numpy(ang), convention).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+
+
+@pytest.mark.parametrize("convention", ALL_CONVENTIONS)
+def test_matrix_to_euler_convention_matches_reference(convention, rng):
+    """matrix_to_euler_angles agrees with the reference and round-trips."""
+    torch, pt = _ref_pose_trans()
+    mats = random_rotations(rng, n=8)
+    ours = np.asarray(R.matrix_to_euler_angles(mats, convention))
+    ref = pt.matrix_to_euler_angles(
+        torch.from_numpy(np.asarray(mats)), convention).numpy()
+    np.testing.assert_allclose(ours, ref, atol=1e-5)
+    back = R.euler_angles_to_matrix(jnp.asarray(ours), convention)
+    np.testing.assert_allclose(np.asarray(back), np.asarray(mats), atol=1e-4)
+
+
+def test_quaternion_multiply_matches_reference(rng):
+    """raw product and the standardized wrapper both match the reference
+    (`pose_trans.py:346-383`)."""
+    torch, pt = _ref_pose_trans()
+    a = rng.normal(size=(16, 4)).astype(np.float32)
+    b = rng.normal(size=(16, 4)).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(R.quaternion_raw_multiply(jnp.asarray(a), jnp.asarray(b))),
+        pt.quaternion_raw_multiply(torch.from_numpy(a),
+                                   torch.from_numpy(b)).numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(R.quaternion_multiply(jnp.asarray(a), jnp.asarray(b))),
+        pt.quaternion_multiply(torch.from_numpy(a),
+                               torch.from_numpy(b)).numpy(), atol=1e-6)
+
+
+def test_random_rotation_helpers():
+    """Random quaternions are unit with non-negative real part; random
+    rotations are orthonormal with det +1 (`pose_trans.py:261-327`)."""
+    import jax
+    q = R.random_quaternions(jax.random.PRNGKey(0), 64)
+    np.testing.assert_allclose(np.linalg.norm(np.asarray(q), axis=1), 1.0,
+                               atol=1e-5)
+    assert (np.asarray(q)[:, 0] >= 0).all()
+    mats = np.asarray(R.random_rotations(jax.random.PRNGKey(1), 32))
+    np.testing.assert_allclose(mats @ mats.transpose(0, 2, 1),
+                               np.broadcast_to(np.eye(3), mats.shape),
+                               atol=1e-5)
+    np.testing.assert_allclose(np.linalg.det(mats), 1.0, atol=1e-5)
+    single = R.random_rotation(jax.random.PRNGKey(2))
+    assert single.shape == (3, 3)
+
+
+def test_axis_angle_quaternion_match_reference(rng):
+    """axis_angle <-> quaternion/matrix agree with the reference, including
+    the tiny-angle Taylor branch (`pose_trans.py:427-522`)."""
+    torch, pt = _ref_pose_trans()
+    ax = rng.normal(size=(12, 3)).astype(np.float32)
+    ax[:3] *= 1e-7  # exercise the small-angle series
+    t_ax = torch.from_numpy(ax)
+    np.testing.assert_allclose(
+        np.asarray(R.axis_angle_to_quaternion(jnp.asarray(ax))),
+        pt.axis_angle_to_quaternion(t_ax).numpy(), atol=1e-6)
+    np.testing.assert_allclose(
+        np.asarray(R.axis_angle_to_matrix(jnp.asarray(ax))),
+        pt.axis_angle_to_matrix(t_ax).numpy(), atol=1e-6)
+    mats = random_rotations(rng, n=8)
+    np.testing.assert_allclose(
+        np.asarray(R.matrix_to_axis_angle(mats)),
+        pt.matrix_to_axis_angle(torch.from_numpy(np.asarray(mats))).numpy(),
+        atol=1e-5)
