@@ -11,6 +11,8 @@ from __future__ import annotations
 
 import glob
 import os
+import threading
+from collections import OrderedDict
 from typing import Optional, Sequence
 
 import cv2
@@ -90,11 +92,58 @@ def invert_pose_numpy(T: np.ndarray) -> np.ndarray:
 
 
 def load_image_rgb(path: str) -> np.ndarray:
-    """uint8 RGB [H,W,3] -> float32 in [0,1]."""
-    img = cv2.imread(path, cv2.IMREAD_COLOR)
+    """Decoded RGB image [H,W,3], **uint8**.
+
+    Float conversion happens in the transforms AFTER the resize
+    (`transforms.py:_to_float_rgb`): converting at full decode resolution
+    cost ~2.5x the bytes for nothing, and uint8 INTER_LINEAR resize matches
+    the reference more closely anyway (its pipeline resizes PIL uint8
+    images, `datasets/augmentations.py:30-46`).
+
+    Decoded frames are LRU-cached (see `_DECODE_CACHE_SIZE`): with a
+    back/forward context every frame is decoded by ~3 neighboring samples,
+    and overfit/repeat recipes re-read the same files every epoch.
+    """
+    img = _load_rgb_cached(path)
     if img is None:
         raise FileNotFoundError(path)
-    return (img[..., ::-1].astype(np.float32) / 255.0)
+    return img
+
+
+_DECODE_CACHE_SIZE = int(os.environ.get("DRO_SFM_DECODE_CACHE", "192"))
+_decode_cache: "OrderedDict[str, np.ndarray]" = OrderedDict()
+_decode_lock = threading.Lock()
+
+
+def _load_rgb_cached(path: str):
+    if _DECODE_CACHE_SIZE > 0:
+        with _decode_lock:
+            img = _decode_cache.get(path)
+            if img is not None:
+                _decode_cache.move_to_end(path)
+                # Copy: callers may write into the sample in place.
+                return img.copy()
+    bgr = cv2.imread(path, cv2.IMREAD_COLOR)
+    if bgr is None:
+        return None
+    img = np.ascontiguousarray(bgr[..., ::-1])
+    if _DECODE_CACHE_SIZE > 0:
+        with _decode_lock:
+            _decode_cache[path] = img
+            while len(_decode_cache) > _DECODE_CACHE_SIZE:
+                _decode_cache.popitem(last=False)
+        return img.copy()
+    return img
+
+
+def read_matrix_txt(path: str) -> np.ndarray:
+    """Whitespace-separated numeric matrix file -> float64 [R,C].
+
+    ~20x faster than np.genfromtxt for the small 4x4 pose / intrinsic
+    files the scene readers parse on every sample."""
+    with open(path) as f:
+        rows = [ln.split() for ln in f if ln.strip()]
+    return np.array(rows, dtype=np.float64)
 
 
 def read_npz_depth(path: str, depth_type: str) -> np.ndarray:

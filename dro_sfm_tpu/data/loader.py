@@ -186,6 +186,11 @@ def make_loader(dataset: Dataset, batch_size: int, mode: str,
             shard_id = jax.process_index()
         except Exception:
             num_shards, shard_id = 1, 0
+    # More worker threads than cores is measurably NEGATIVE scaling (they
+    # fight cv2's internal threading for the same cores; see
+    # docs/perf_notes_r3.md loader section).
+    import os
+    num_workers = min(num_workers, os.cpu_count() or num_workers)
     return DataLoader(
         dataset, batch_size,
         shuffle=(mode == "train"),

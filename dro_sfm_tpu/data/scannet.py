@@ -15,7 +15,11 @@ import cv2
 import numpy as np
 
 from dro_sfm_tpu.data.base import Sample, sample_rng
-from dro_sfm_tpu.data.kitti import invert_pose_numpy, load_image_rgb
+from dro_sfm_tpu.data.kitti import (
+    invert_pose_numpy,
+    load_image_rgb,
+    read_matrix_txt,
+)
 from dro_sfm_tpu.data.transforms import eval_transform, train_transform
 
 
@@ -87,7 +91,19 @@ class ScannetDataset:
         path = os.path.join(self.root_dir, scene, filename)
         path = path.replace("color", "pose")
         path = os.path.splitext(path)[0] + ".txt"
-        return np.genfromtxt(path)
+        return read_matrix_txt(path)
+
+    def _intrinsics(self, path: str) -> np.ndarray:
+        """Per-scene intrinsics, parsed once (every sample of a scene reads
+        the same file; np.genfromtxt costs ~1 ms per call)."""
+        cache = getattr(self, "_intr_cache", None)
+        if cache is None:
+            cache = self._intr_cache = {}
+        intr = cache.get(path)
+        if intr is None:
+            intr = read_matrix_txt(path)[:3, :3].astype(np.float32)
+            cache[path] = intr
+        return intr.copy()
 
     # ------------------------------------------------------------------
     def __len__(self):
@@ -99,7 +115,7 @@ class ScannetDataset:
         image = load_image_rgb(img_path)
 
         intr_path = img_path.split("color")[0] + "intrinsic/intrinsic_color.txt"
-        intr = np.genfromtxt(intr_path)[:3, :3].astype(np.float32)
+        intr = self._intrinsics(intr_path)
 
         ctx_names = self._sample_context(idx, scene, filename)
         ctx_imgs = [load_image_rgb(os.path.join(self.root_dir, scene, c))

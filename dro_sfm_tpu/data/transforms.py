@@ -56,27 +56,81 @@ def resize_sample(sample: Sample, shape: Tuple[int, int],
 
 
 def duplicate_sample(sample: Sample) -> Sample:
-    """Keep pre-jitter copies (`augmentations.py` duplicate_sample)."""
-    sample["rgb_original"] = sample["rgb"].copy()
-    sample["rgb_context_original"] = sample["rgb_context"].copy()
+    """Keep pre-jitter copies (`augmentations.py` duplicate_sample).
+
+    Originals are stored as float regardless of the working dtype (the
+    photometric loss consumes them directly)."""
+    rgb = sample["rgb"]
+    sample["rgb_original"] = (_to_float_rgb(rgb) if rgb.dtype == np.uint8
+                              else rgb.copy())
+    ctx = sample["rgb_context"]
+    sample["rgb_context_original"] = (_to_float_rgb(ctx)
+                                      if ctx.dtype == np.uint8
+                                      else ctx.copy())
+    return sample
+
+
+def _to_float_rgb(img: np.ndarray) -> np.ndarray:
+    """uint8 [0,255] -> float32 [0,1]; float input passes through.
+
+    Conversion deliberately happens AFTER the resize (datasets decode and
+    resize in uint8 — 1/4 the bytes through cv2.resize and a ~2.5x smaller
+    astype; the reference pipeline equally resizes uint8 PIL images,
+    `augmentations.py:30-46`)."""
+    if img.dtype == np.uint8:
+        return img.astype(np.float32) / 255.0
+    return np.asarray(img, np.float32)
+
+
+def float_sample(sample: Sample) -> Sample:
+    sample["rgb"] = _to_float_rgb(sample["rgb"])
+    sample["rgb_context"] = _to_float_rgb(sample["rgb_context"])
     return sample
 
 
 def _jitter_once(img: np.ndarray, b: float, c: float, s: float,
                  h: float) -> np.ndarray:
     """Apply brightness/contrast/saturation/hue factors to [H,W,3] in [0,1]."""
-    out = img * b
-    out = np.clip(out, 0.0, 1.0)
-    mean = out.mean(axis=(0, 1), keepdims=True).mean()
-    out = np.clip((out - mean) * c + mean, 0.0, 1.0)
-    gray = (0.299 * out[..., 0] + 0.587 * out[..., 1]
-            + 0.114 * out[..., 2])[..., None]
-    out = np.clip((out - gray) * s + gray, 0.0, 1.0)
+    out = np.clip(img * b, 0.0, 1.0)
+    mean = float(out.mean())
+    # One fused affine pass: (out - mean) * c + mean.
+    out = np.clip(out * c + mean * (1.0 - c), 0.0, 1.0)
+    # cv2's RGB2GRAY uses the same 0.299/0.587/0.114 weights and releases
+    # the GIL (this transform runs inside loader worker threads).
+    gray = cv2.cvtColor(out.astype(np.float32, copy=False),
+                        cv2.COLOR_RGB2GRAY)[..., None]
+    out = np.clip(out * s + gray * (1.0 - s), 0.0, 1.0)
     if h != 0.0:
         hsv = cv2.cvtColor(out.astype(np.float32), cv2.COLOR_RGB2HSV)
         hsv[..., 0] = (hsv[..., 0] + h * 360.0) % 360.0
         out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
     return np.clip(out, 0.0, 1.0)
+
+
+def _jitter_once_u8(img: np.ndarray, b: float, c: float, s: float,
+                    h: float) -> np.ndarray:
+    """uint8 jitter via cv2 LUTs / saturating arithmetic.
+
+    Same factor semantics as :func:`_jitter_once` quantized to uint8 steps
+    — which is what the reference's torchvision ColorJitter does on PIL
+    images anyway. Every per-pixel pass is a GIL-releasing cv2 call, which
+    is what lets the thread-pool loader actually scale."""
+    lut = np.arange(256, dtype=np.float32)
+    out = cv2.LUT(img, np.clip(lut * b, 0, 255).astype(np.uint8))
+    mean = float(sum(cv2.mean(out)[:3]) / 3.0)
+    out = cv2.LUT(out, np.clip(lut * c + mean * (1.0 - c), 0,
+                               255).astype(np.uint8))
+    gray = cv2.cvtColor(out, cv2.COLOR_RGB2GRAY)
+    out = cv2.addWeighted(out, s,
+                          cv2.cvtColor(gray, cv2.COLOR_GRAY2RGB), 1.0 - s,
+                          0.0)
+    if h != 0.0:
+        hsv = cv2.cvtColor(out, cv2.COLOR_RGB2HSV)  # H in 2-degree units
+        shift = int(round(h * 180.0)) % 180
+        hlut = ((np.arange(256) + shift) % 180).astype(np.uint8)
+        hsv[..., 0] = cv2.LUT(hsv[..., 0], hlut)
+        out = cv2.cvtColor(hsv, cv2.COLOR_HSV2RGB)
+    return out
 
 
 def colorjitter_sample(sample: Sample, jitter: Sequence[float],
@@ -87,9 +141,11 @@ def colorjitter_sample(sample: Sample, jitter: Sequence[float],
     c = rng.uniform(max(0.0, 1 - contrast), 1 + contrast)
     s = rng.uniform(max(0.0, 1 - saturation), 1 + saturation)
     h = rng.uniform(-hue, hue)
-    sample["rgb"] = _jitter_once(sample["rgb"], b, c, s, h)
+    fn = (_jitter_once_u8 if sample["rgb"].dtype == np.uint8
+          else _jitter_once)
+    sample["rgb"] = fn(sample["rgb"], b, c, s, h)
     sample["rgb_context"] = np.stack(
-        [_jitter_once(im, b, c, s, h) for im in sample["rgb_context"]])
+        [fn(im, b, c, s, h) for im in sample["rgb_context"]])
     return sample
 
 
@@ -102,7 +158,7 @@ def train_transform(sample: Sample, image_shape: Tuple[int, int],
     sample = duplicate_sample(sample)
     if jittering and rng is not None:
         sample = colorjitter_sample(sample, jittering, rng)
-    return sample
+    return float_sample(sample)
 
 
 def eval_transform(sample: Sample, image_shape: Tuple[int, int]) -> Sample:
@@ -110,4 +166,4 @@ def eval_transform(sample: Sample, image_shape: Tuple[int, int]) -> Sample:
     stays at full resolution for metric evaluation (`transforms.py:33-86`)."""
     if image_shape:
         sample = resize_sample(sample, image_shape, with_depth=False)
-    return sample
+    return float_sample(sample)
