@@ -25,11 +25,14 @@ import numpy as np
 PEAK_BF16_TFLOPS = 197.0  # TPU v5e per-chip peak
 PEAK_HBM_GBPS = 819.0     # TPU v5e per-chip HBM bandwidth
 
-# Static cost of the flagship train step from CPU-side XLA lowering
-# (tools/perf_flops.py, b8 bf16): fallback when the axon backend's live
-# cost_analysis is unavailable. Per-frame so it scales with batch.
+# Static cost of the flagship train step. FLOPs from CPU-side XLA lowering
+# (tools/perf_flops.py, b8 bf16); HBM bytes from the memory-space-aware
+# walk of the POST-OPTIMIZATION TPU HLO (tools/perf_hbm.py — the naive
+# "bytes accessed" figure of 51.9 GB counts VMEM-resident traffic and
+# overstates HBM ~3x; the space-aware budget is 18.1 GB at b8 192x640).
+# Per-frame so it scales with batch.
 FALLBACK_TFLOPS_PER_FRAME = 1.975 / 8
-FALLBACK_GB_PER_FRAME = 51.85 / 8
+FALLBACK_GB_PER_FRAME = 18.1 / 8
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                              "BENCH_BASELINE.json")
@@ -64,8 +67,8 @@ def _probe_backend(timeout_s: float = 600.0):
         sys.exit(3)
 
 
-def main():
-    _probe_backend()
+def measure(b, n, h, w, n_steps=20):
+    """Compile + time the flagship train step at one operating point."""
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +77,6 @@ def main():
     from dro_sfm_tpu.training.step import make_train_step
     from dro_sfm_tpu.utils.config import load_config
 
-    b, n, h, w = 8, 2, 192, 640
     rng = np.random.default_rng(0)
     K = np.array([[w * 0.8, 0, (w - 1) / 2], [0, w * 0.8, (h - 1) / 2],
                   [0, 0, 1.0]], dtype=np.float32)
@@ -119,7 +121,6 @@ def main():
     state, metrics = train_step(state, batch, step_rng)
     fetch(state)
 
-    n_steps = 20
     t0 = time.perf_counter()
     for _ in range(n_steps):
         state, metrics = train_step(state, batch, step_rng)
@@ -131,45 +132,78 @@ def main():
 
     # Static FLOPs of the step from XLA cost analysis (host-side lowering;
     # does not retrigger the remote TPU compile).
-    gbytes = 0.0
     try:
         cost = train_step.lower(state, batch, step_rng).cost_analysis()
         if isinstance(cost, list):
             cost = cost[0]
         tflops = float(cost.get("flops", 0.0)) / 1e12
-        gbytes = float(cost.get("bytes accessed", 0.0)) / 1e9
     except Exception:
         tflops = 0.0
     # The axon backend's live cost_analysis reports flops=-1 ("unknown");
-    # treat any non-positive value as missing so the fallback fires.
+    # treat any non-positive value as missing so the fallback fires. HBM
+    # bytes always come from the space-aware model (cost_analysis "bytes
+    # accessed" counts VMEM traffic), scaled by pixels from the audited
+    # b8 192x640 point.
     if tflops <= 0.0:
-        tflops = FALLBACK_TFLOPS_PER_FRAME * b
-        gbytes = FALLBACK_GB_PER_FRAME * b
+        tflops = FALLBACK_TFLOPS_PER_FRAME * b * (h * w) / (192 * 640)
+    gbytes = FALLBACK_GB_PER_FRAME * b * (h * w) / (192 * 640)
     achieved = tflops / (step_ms * 1e-3)
-    mfu = achieved / PEAK_BF16_TFLOPS
-    hbm_util = (gbytes / (step_ms * 1e-3)) / PEAK_HBM_GBPS if gbytes else 0.0
+    return {
+        "frames_per_sec": frames_per_sec,
+        "step_ms": step_ms,
+        "tflops": tflops,
+        "achieved_tflops_per_s": achieved,
+        "mfu": achieved / PEAK_BF16_TFLOPS,
+        "hbm_util": (gbytes / (step_ms * 1e-3)) / PEAK_HBM_GBPS,
+    }
+
+
+def main():
+    _probe_backend()
+    import jax
+
+    # Primary series: 192x640 b8, fixed since round 1 for comparability.
+    r = measure(8, 2, 192, 640)
+    # Reference operating point: the upstream KITTI recipe trains 320x960
+    # (`/root/reference/configs/train_kitti_mf_gt.yaml:28-33`).
+    try:
+        r_ref = measure(8, 2, 320, 960)
+    except Exception as e:  # OOM / compile failure must not kill the series
+        print(f"bench.py: 320x960 point failed: {e!r}", file=__import__("sys").stderr)
+        r_ref = None
+
     baseline = None
     if os.path.exists(BASELINE_FILE):
         with open(BASELINE_FILE) as f:
             baseline = json.load(f).get("train_frames_per_sec")
     else:
         with open(BASELINE_FILE, "w") as f:
-            json.dump({"train_frames_per_sec": frames_per_sec,
+            json.dump({"train_frames_per_sec": r["frames_per_sec"],
                        "device": str(jax.devices()[0])}, f)
-    vs_baseline = frames_per_sec / baseline if baseline else 1.0
+    vs_baseline = r["frames_per_sec"] / baseline if baseline else 1.0
 
-    print(json.dumps({
+    out = {
         "metric": "train_frames_per_sec",
-        "value": round(frames_per_sec, 3),
+        "value": round(r["frames_per_sec"], 3),
         "unit": "frames/s (it12-h-out, 192x640, b8, supervised step, "
                 "bf16 unrolled Pallas-warp fast path)",
         "vs_baseline": round(vs_baseline, 3),
-        "step_ms": round(step_ms, 2),
-        "step_tflops": round(tflops, 3),
-        "achieved_tflops_per_s": round(achieved, 2),
-        "mfu_vs_bf16_peak": round(mfu, 4),
-        "hbm_bw_utilization": round(hbm_util, 4),
-    }))
+        "step_ms": round(r["step_ms"], 2),
+        "step_tflops": round(r["tflops"], 3),
+        "achieved_tflops_per_s": round(r["achieved_tflops_per_s"], 2),
+        "mfu_vs_bf16_peak": round(r["mfu"], 4),
+        "hbm_bw_utilization": round(r["hbm_util"], 4),
+    }
+    if r_ref is not None:
+        # 2.5x the pixels; scaling_vs_pixels 1.0 = exactly linear in pixels.
+        out.update({
+            "frames_per_sec_320x960_b8": round(r_ref["frames_per_sec"], 3),
+            "step_ms_320x960_b8": round(r_ref["step_ms"], 2),
+            "scaling_vs_pixels_320x960": round(
+                (r_ref["step_ms"] / r["step_ms"])
+                / ((320 * 960) / (192 * 640)), 3),
+        })
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -64,20 +64,34 @@ class UpMaskNet(nn.Module):
     def __call__(self, feat: jnp.ndarray) -> jnp.ndarray:
         y = nn.relu(_conv(self.hidden_dim * 2, (3, 3), "conv1",
                           dtype=self.dtype)(feat))
+        # The mask stays in the compute dtype end to end: it is the fattest
+        # activation of the whole step ([P,B,h,w,9r^2] — ~460 MB fp32 at the
+        # flagship point) and only parameterizes a softmax-convex average,
+        # so bf16 costs ~2^-8 relative on weights that sum to 1. The depth
+        # taps it blends stay fp32 (ops/upsample.py).
         return 0.25 * _conv(self.ratio * self.ratio * 9, (1, 1),
-                            "conv2")(y.astype(jnp.float32))
+                            "conv2", dtype=self.dtype)(y)
 
 
 class SepConvGRU(nn.Module):
     """Separable (1x5 then 5x1) convolutional GRU (`update.py:47-74`).
 
     Gates, state and arithmetic all run in ``dtype``: in bfloat16 mode the
-    recurrent carry itself is bf16, halving the dominant HBM traffic of the
-    (bandwidth-bound) refinement scan. The integrated quantities the GRU
-    drives — inv-depth and pose deltas — are produced by fp32 head convs, so
+    recurrent carry itself is bf16, halving the recurrent HBM traffic of
+    the refinement scan. The integrated quantities the GRU drives —
+    inv-depth and pose deltas — are produced by fp32 head convs, so
     geometry precision is unaffected; the hidden state only has to carry
     feature information across 4 inner steps between truncated-BPTT
-    detaches."""
+    detaches.
+
+    The z and r gates read the same ``[h, x]`` input and are independent,
+    so they are evaluated as ONE conv with ``2*hidden_dim`` outputs and
+    split (``convzr{1,2}``; the torch reference keeps separate convz/convr
+    — `update.py:49-60` — and the weight converter stacks them on the
+    output-channel axis). Identical math, but the refinement chain is
+    dispatch-bound on tiny 1/8-res grids (measured ~60 us/conv inside a
+    fused program), and a 256-wide MXU dispatch runs ~2x the FLOP rate of
+    two 128-wide ones."""
     hidden_dim: int = 128
     dtype: Any = jnp.float32
 
@@ -87,10 +101,9 @@ class SepConvGRU(nn.Module):
         x = x.astype(self.dtype)
         for suffix, kernel in (("1", (1, 5)), ("2", (5, 1))):
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convz{suffix}",
-                                 dtype=self.dtype)(hx))
-            r = nn.sigmoid(_conv(self.hidden_dim, kernel, f"convr{suffix}",
-                                 dtype=self.dtype)(hx))
+            zr = nn.sigmoid(_conv(2 * self.hidden_dim, kernel,
+                                  f"convzr{suffix}", dtype=self.dtype)(hx))
+            z, r = jnp.split(zr, 2, axis=-1)
             q = jnp.tanh(_conv(self.hidden_dim, kernel, f"convq{suffix}",
                                dtype=self.dtype)(
                 jnp.concatenate([r * h, x], axis=-1)))
@@ -200,8 +213,9 @@ class UpdateMaskHead(nn.Module):
     def __call__(self, net: jnp.ndarray) -> jnp.ndarray:
         y = nn.relu(_conv(self.hidden_dim * 2, (3, 3), "mask1",
                           dtype=self.dtype)(net))
+        # Compute-dtype mask output — see UpMaskNet for the rationale.
         return 0.25 * _conv(self.ratio * self.ratio * 9, (1, 1),
-                            "mask2")(y.astype(jnp.float32))
+                            "mask2", dtype=self.dtype)(y)
 
 
 class PoseUpdateCell(nn.Module):

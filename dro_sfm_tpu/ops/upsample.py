@@ -39,9 +39,18 @@ def convex_upsample(depth: jnp.ndarray, mask: jnp.ndarray, ratio: int = 8) -> jn
     """
     batch = depth.shape[:-3]
     h, w = depth.shape[-3], depth.shape[-2]
-    taps = neighborhood_3x3(depth)  # [..., h, w, 9]
+    taps = neighborhood_3x3(depth)  # [..., h, w, 9] (depth dtype, fp32)
     m = mask.reshape(*batch, h, w, 9, ratio, ratio)
+    # Softmax runs in the mask's own dtype: in bf16 mode the mask stack is
+    # the single fattest activation of the train step, and a max-subtracted
+    # bf16 exp costs ~2^-8 relative on weights that renormalize to 1. The
+    # blend accumulates in the (fp32) depth dtype — depth values are never
+    # quantized. Expressed as a broadcast multiply + k-sum rather than an
+    # einsum: a 9-element contraction lowers to one loop fusion reading the
+    # bf16 mask bytes directly, instead of a dot_general whose operand
+    # promotion materializes an fp32 copy of the mask.
     m = jax.nn.softmax(m, axis=-3)
-    # fine[b, i, p, j, q] = sum_k m[b, i, j, k, p, q] * taps[b, i, j, k]
-    fine = jnp.einsum("...hwkpq,...hwk->...hpwq", m, taps)
+    fine = (m * taps[..., None, None].astype(depth.dtype)).sum(axis=-3)
+    # [..., h, w, p, q] -> [..., h, p, w, q] -> [..., H, W, 1]
+    fine = jnp.swapaxes(fine, -3, -2)
     return fine.reshape(*batch, h * ratio, w * ratio, 1)

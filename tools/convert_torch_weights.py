@@ -190,8 +190,20 @@ def convert_dro_checkpoint(state_dict: dict) -> dict:
                          (*base, "head", "conv2"))
         for src, dst in enc_map.items():
             convert_conv(f"{torch_prefix}.{src}", (*base, "encoder", dst))
-        for g in ("convz1", "convr1", "convq1", "convz2", "convr2", "convq2"):
-            convert_conv(f"{torch_prefix}.{gru}.{g}", (*base, "gru", g))
+        # The rebuild evaluates the independent z and r gates as one
+        # 2*hidden-wide conv (models/update.py SepConvGRU): stack the
+        # reference's separate convz/convr on the output-channel axis.
+        for sfx in ("1", "2"):
+            kz = conv_w(sd[f"{torch_prefix}.{gru}.convz{sfx}.weight"])
+            kr = conv_w(sd[f"{torch_prefix}.{gru}.convr{sfx}.weight"])
+            put(out_params, (*base, "gru", f"convzr{sfx}", "kernel"),
+                np.concatenate([kz, kr], axis=-1))
+            bz = sd[f"{torch_prefix}.{gru}.convz{sfx}.bias"]
+            br = sd[f"{torch_prefix}.{gru}.convr{sfx}.bias"]
+            put(out_params, (*base, "gru", f"convzr{sfx}", "bias"),
+                np.concatenate([bz, br], axis=-1))
+            convert_conv(f"{torch_prefix}.{gru}.convq{sfx}",
+                         (*base, "gru", f"convq{sfx}"))
 
     update_block("update_block_depth", "update_block_depth", "depth")
     update_block("update_block_pose", "update_block_pose", "pose")
