@@ -36,8 +36,12 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
-from dro_sfm_tpu.geometry.camera import Camera, scale_intrinsics
-from dro_sfm_tpu.geometry.pose import Pose
+from dro_sfm_tpu.geometry.camera import (
+    invert_intrinsics,
+    pixel_grid,
+    scale_intrinsics,
+)
+from dro_sfm_tpu.geometry.pose import pose_vec_to_mat
 from dro_sfm_tpu.models.encoder import ResNetEncoder
 from dro_sfm_tpu.models.update import (
     DepthHead,
@@ -89,37 +93,28 @@ class VersionSpec:
         )
 
 
-def warp_cost(fmap1, fmaps_ref, depth, pose_vecs, K_scaled,
-              impl: str = "gather"):
-    """Per-pixel feature-metric cost for every view.
+def _resolve_impl(impl: str) -> str:
+    """The Pallas kernel is TPU-only; on other backends degrade to "matmul"
+    (identical sampling semantics) so configs stay portable to the CPU test
+    mesh and dry runs."""
+    if impl == "pallas" and jax.default_backend() != "tpu":
+        return "matmul"
+    return impl
 
-    fmap1 [B,h,w,C]; fmaps_ref [B,N,h,w,C]; depth [B,h,w,1];
-    pose_vecs [B,N,6]; K_scaled [B,3,3] -> cost [B,N,h,w,C].
 
-    Parity: `DepthPoseNet.py:76-96` — lift target pixels with depth,
-    project into each reference camera (Tcw = pose), bilinearly sample the
-    reference features (zeros padding, align_corners), squared difference.
+def _sample_cost(fmap1, fmaps_ref, coords, impl: str):
+    """Squared feature difference after bilinear sampling at pixel coords.
+
+    fmap1 [B,h,w,C]; fmaps_ref [B,N,h,w,C]; coords [B,N,h,w,2]
+    -> cost [B,N,h,w,C].
 
     ``impl`` selects the sampler: "pallas" (fused VMEM tent-matmul kernel —
     the fastest train step measured on v5e, tools/perf_ablate.py r2),
     "matmul" (dense tent-weight contraction on the MXU, no scatters), or
-    "gather" (XLA gather; scatter-add in the backward). The Pallas kernel
-    is TPU-only; on other backends it transparently degrades to "matmul"
-    (identical sampling semantics) so configs are portable to the CPU test
-    mesh and dry runs.
+    "gather" (XLA gather; scatter-add in the backward). Sampling semantics:
+    grid_sample(zeros padding, align_corners) of `DepthPoseNet.py:93-96`.
     """
-    if impl == "pallas" and jax.default_backend() != "tpu":
-        impl = "matmul"
-    cam = Camera(K_scaled)
-    world_points = cam.reconstruct(depth, frame="w")   # [B,h,w,3]
-    ref_pose = Pose.from_vec(pose_vecs, "euler")       # [B,N,4,4]
-    ref_cam = Camera(
-        jnp.broadcast_to(K_scaled[:, None], (*pose_vecs.shape[:2], 3, 3)),
-        ref_pose)
-    coords = ref_cam.project(
-        jnp.broadcast_to(world_points[:, None],
-                         (*pose_vecs.shape[:2], *world_points.shape[1:])),
-        frame="w", normalize=False)                    # [B,N,h,w,2]
+    impl = _resolve_impl(impl)
     if impl == "pallas":
         from dro_sfm_tpu.ops.pallas.tent_warp import pallas_warp_cost
         return pallas_warp_cost(fmap1, fmaps_ref, coords)
@@ -135,6 +130,59 @@ def warp_cost(fmap1, fmaps_ref, depth, pose_vecs, K_scaled,
     return diff * diff
 
 
+def _proj_affine(K_scaled, pose_mats):
+    """Compose projection into one affine map on homogeneous pixel rays.
+
+    The reference projects in three grid-sized stages
+    (`DepthPoseNet.py:76-96`): lift ``Kinv @ p * d``, rigid transform
+    ``R x + t``, project ``K x``. Folding the pixel-independent 3x3 algebra
+    together, the homogeneous projection of target pixel ``p`` at depth
+    ``d`` is ``(K R Kinv) p * d + K t`` — so the refinement steps only pay
+    one grid-sized op per step instead of three (plus the identity-pose
+    transform the generic Camera path can't fold away).
+
+    K_scaled [B,3,3]; pose_mats [B,N,4,4] -> A [B,N,3,3] (= K R Kinv),
+    b [B,N,3] (= K t).
+    """
+    Kinv = invert_intrinsics(K_scaled)
+    rot = pose_mats[..., :3, :3]
+    t = pose_mats[..., :3, 3]
+    A = jnp.einsum("bij,bnjk,bkl->bnil", K_scaled, rot, Kinv)
+    b = jnp.einsum("bij,bnj->bni", K_scaled, t)
+    return A, b
+
+
+def _proj_to_coords(proj):
+    """Homogeneous projections [..., 3] -> pixel coords [..., 2] with the
+    reference's z-clamp (`camera.py:177-186`; K's third row is [0,0,1], so
+    clamping after the K multiply is identical)."""
+    z = jnp.maximum(proj[..., 2], 1e-5)
+    return jnp.stack([proj[..., 0] / z, proj[..., 1] / z], axis=-1)
+
+
+def warp_cost(fmap1, fmaps_ref, depth, pose_vecs, K_scaled,
+              impl: str = "gather"):
+    """Per-pixel feature-metric cost for every view (reference-shaped API).
+
+    fmap1 [B,h,w,C]; fmaps_ref [B,N,h,w,C]; depth [B,h,w,1];
+    pose_vecs [B,N,6]; K_scaled [B,3,3] -> cost [B,N,h,w,C].
+
+    Parity: `DepthPoseNet.py:76-96` — lift target pixels with depth,
+    project into each reference camera (Tcw = pose), bilinearly sample the
+    reference features (zeros padding, align_corners), squared difference.
+    The projection runs as the composed affine map (`_proj_affine`); the
+    refinement scans use the split pieces directly so per-iteration
+    invariants hoist out of the inner steps.
+    """
+    impl = _resolve_impl(impl)
+    h, w = depth.shape[-3], depth.shape[-2]
+    A, b = _proj_affine(K_scaled, pose_vec_to_mat(pose_vecs, "euler"))
+    grid = pixel_grid(h, w, dtype=depth.dtype)         # [h,w,3]
+    G = jnp.einsum("bnij,hwj->bnhwi", A, grid)         # [B,N,h,w,3]
+    proj = G * depth[:, None] + b[:, :, None, None, :]
+    return _sample_cost(fmap1, fmaps_ref, _proj_to_coords(proj), impl)
+
+
 class _DepthStep(nn.Module):
     """One inner depth-refinement step as a scan body: evaluate the
     multi-view cost at the current inverse depth (frozen poses), run the GRU
@@ -147,18 +195,27 @@ class _DepthStep(nn.Module):
     out_normalize: bool
     dtype: Any = jnp.float32
     warp_impl: str = "gather"
+    sep_conv: str = "conv"
 
     @nn.compact
     def __call__(self, carry, _):
         hidden, inv_depth, consts = carry
         scaled = (disp_to_depth(inv_depth, self.min_depth, self.max_depth)[0]
                   if self.out_normalize else inv_depth)
-        cost = warp_cost(consts["fmap1"], consts["fmaps_ref"],
-                         inv2depth(scaled), consts["poses"],
-                         consts["K"], impl=self.warp_impl).mean(axis=1)
+        # Poses are frozen across the inner depth steps, so the projection
+        # is the hoisted affine map: proj = G * d + b (G = (K R Kinv) @ p
+        # precomputed per outer iteration) — one grid-sized multiply-add
+        # per step instead of the full lift/transform/project chain.
+        depth = inv2depth(scaled)
+        proj = (consts["G"] * depth[:, None]
+                + consts["bvec"][:, :, None, None, :])
+        cost = _sample_cost(consts["fmap1"], consts["fmaps_ref"],
+                            _proj_to_coords(proj),
+                            self.warp_impl).mean(axis=1)
         hidden, delta = DepthUpdateCell(
             hidden_dim=self.hidden_dim, context_dim=self.context_dim,
-            ratio=self.ratio, dtype=self.dtype, name="cell")(
+            ratio=self.ratio, dtype=self.dtype, conv_impl=self.sep_conv,
+            name="cell")(
                 hidden, inv_depth, cost, consts["inp"])
         inv_depth = inv_depth + delta
         return (hidden, inv_depth, consts), (inv_depth, hidden)
@@ -172,17 +229,27 @@ class _PoseStep(nn.Module):
     context_dim: int
     dtype: Any = jnp.float32
     warp_impl: str = "gather"
+    sep_conv: str = "conv"
 
     @nn.compact
     def __call__(self, carry, _):
         hidden, poses, consts = carry                  # poses [B,N,6]
         b, n = poses.shape[0], poses.shape[1]
-        cost = warp_cost(consts["fmap1"], consts["fmaps_ref"],
-                         consts["depth"], poses, consts["K"],
-                         impl=self.warp_impl)          # [B,N,h,w,C]
+        # Depth is frozen across the inner pose steps, so the lifted
+        # camera-frame points (rays * depth) are hoisted per outer
+        # iteration; each step only composes K with the current pose and
+        # projects: proj = (K R) points + K t.
+        mats = pose_vec_to_mat(poses, "euler")         # [B,N,4,4]
+        KR = jnp.einsum("bij,bnjk->bnik", consts["K"], mats[..., :3, :3])
+        Kt = jnp.einsum("bij,bnj->bni", consts["K"], mats[..., :3, 3])
+        proj = (jnp.einsum("bnij,bhwj->bnhwi", KR, consts["points"])
+                + Kt[:, :, None, None, :])
+        cost = _sample_cost(consts["fmap1"], consts["fmaps_ref"],
+                            _proj_to_coords(proj),
+                            self.warp_impl)            # [B,N,h,w,C]
         hidden, delta = PoseUpdateCell(
             hidden_dim=self.hidden_dim, context_dim=self.context_dim,
-            dtype=self.dtype, name="cell")(
+            dtype=self.dtype, conv_impl=self.sep_conv, name="cell")(
                 hidden, poses.reshape(b * n, 6),
                 cost.reshape(b * n, *cost.shape[2:]), consts["inp"])
         poses = poses + delta.reshape(b, n, 6)
@@ -200,6 +267,7 @@ class _OuterIteration(nn.Module):
     max_depth: float
     dtype: Any = jnp.float32
     warp_impl: str = "gather"
+    sep_conv: str = "conv"
     remat: bool = True
     unroll: str = "none"
 
@@ -215,9 +283,18 @@ class _OuterIteration(nn.Module):
                   if spec.out_normalize else inv_depth)
         depth_frozen = inv2depth(scaled)
 
+        # Per-iteration projection invariants (see _proj_affine): the inner
+        # depth steps see frozen poses -> hoist G = (K R Kinv) @ p and
+        # b = K t; the inner pose steps see frozen depth -> hoist the
+        # lifted camera-frame points rays * d.
+        A, bvec = _proj_affine(consts["K"],
+                               pose_vec_to_mat(poses, "euler"))
+        G = jnp.einsum("bnij,hwj->bnhwi", A, consts["grid"])
+        points = consts["rays"] * depth_frozen          # [B,h,w,3]
+
         depth_consts = {"fmap1": consts["fmap1"],
                         "fmaps_ref": consts["fmaps_ref"],
-                        "poses": poses, "K": consts["K"],
+                        "G": G, "bvec": bvec,
                         "inp": consts["inp_d"]}
         # remat (optional): recompute each refinement step in the backward
         # pass instead of storing every inner activation — the nested scans
@@ -239,12 +316,13 @@ class _OuterIteration(nn.Module):
             ratio=self.ratio, min_depth=self.min_depth,
             max_depth=self.max_depth, out_normalize=spec.out_normalize,
             dtype=self.dtype, warp_impl=self.warp_impl,
+            sep_conv=self.sep_conv,
             name="update_block_depth")(
                 (hidden_d, inv_depth, depth_consts), None)
 
         pose_consts = {"fmap1": consts["fmap1"],
                        "fmaps_ref": consts["fmaps_ref"],
-                       "depth": depth_frozen, "K": consts["K"],
+                       "points": points, "K": consts["K"],
                        "inp": consts["inp_p"]}
         PoseScan = nn.scan(
             pose_step, variable_broadcast="params",
@@ -253,6 +331,7 @@ class _OuterIteration(nn.Module):
         (hidden_p, poses, _), p_seq = PoseScan(
             hidden_dim=spec.hidden_dim, context_dim=self.context_dim,
             dtype=self.dtype, warp_impl=self.warp_impl,
+            sep_conv=self.sep_conv,
             name="update_block_pose")(
                 (hidden_p, poses, pose_consts), None)
 
@@ -285,6 +364,8 @@ class DepthPoseNet(nn.Module):
     dtype: Any = jnp.float32  # conv compute dtype (bfloat16 for MXU speed);
                               # geometry, GRU states and heads stay fp32
     warp_impl: str = "gather"  # "gather" | "matmul" | "pallas" (see warp_cost)
+    sep_conv: str = "conv"     # refinement separable convs: "conv" | "matmul"
+                               # (tap-stacked im2col matmul, ops/im2col.py)
     remat: bool = True         # recompute refinement steps in the backward
     unroll: str = "none"       # none | inner | full — unroll the refinement
                                # scans (runtime fusion vs compile time)
@@ -377,8 +458,15 @@ class DepthPoseNet(nn.Module):
             inp_p = nn.relu(cp[..., hdim:])
 
             K_scaled = scale_intrinsics(intrinsics, 1.0 / self.feat_ratio)
+            # Pixel grid and camera rays (Kinv @ p) are step-invariant:
+            # computed once per forward, consumed by the per-iteration
+            # projection hoists in _OuterIteration.
+            grid = pixel_grid(h, w, dtype=jnp.float32)
+            rays = jnp.einsum("bij,hwj->bhwi",
+                              invert_intrinsics(K_scaled), grid)
             consts = {"fmap1": fmap1, "fmaps_ref": fmaps_ref,
-                      "K": K_scaled, "inp_d": inp_d, "inp_p": inp_p}
+                      "K": K_scaled, "grid": grid, "rays": rays,
+                      "inp_d": inp_d, "inp_p": inp_p}
 
             OuterScan = nn.scan(
                 _OuterIteration, variable_broadcast="params",
@@ -389,6 +477,7 @@ class DepthPoseNet(nn.Module):
                 spec=spec, context_dim=cdim, ratio=self.feat_ratio,
                 min_depth=self.min_depth, max_depth=self.max_depth,
                 dtype=self.dtype, warp_impl=self.warp_impl,
+                sep_conv=self.sep_conv,
                 remat=self.remat, unroll=self.unroll,
                 name="refinement")(carry, None)
             # [O,keep,...] -> [O*keep,...]
