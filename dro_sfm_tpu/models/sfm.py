@@ -53,6 +53,10 @@ class SfmModelConfig:
     photometric: PhotometricLossConfig = PhotometricLossConfig()
     mixed_precision: bool = False         # bfloat16 convs (fp32 geometry)
     warp_impl: str = "gather"             # warp sampler: gather | matmul
+    sep_conv: str = "conv"                # refinement (1,k)/(k,1) convs:
+                                          # "conv" (lax conv) | "matmul"
+                                          # (tap-stacked im2col matmul,
+                                          # ops/im2col.py)
     remat: bool = True                    # recompute refinement steps in bwd
     scan_unroll: str = "none"             # none | inner | full: unroll the
                                           # refinement scans for cross-step
@@ -88,7 +92,7 @@ class SfmModelConfig:
             max_depth=self.max_depth,
             dtype=jnp.bfloat16 if self.mixed_precision else jnp.float32,
             warp_impl=self.warp_impl, remat=self.remat,
-            unroll=self.scan_unroll)
+            unroll=self.scan_unroll, sep_conv=self.sep_conv)
 
     @property
     def supervised(self) -> SupervisedLossConfig:

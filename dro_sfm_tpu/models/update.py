@@ -11,6 +11,8 @@ from typing import Any, Callable
 import flax.linen as nn
 import jax.numpy as jnp
 
+from dro_sfm_tpu.ops.im2col import Conv1dMatmul
+
 _conv_init = nn.initializers.he_normal()
 
 
@@ -91,21 +93,32 @@ class SepConvGRU(nn.Module):
     output-channel axis). Identical math, but the refinement chain is
     dispatch-bound on tiny 1/8-res grids (measured ~60 us/conv inside a
     fused program), and a 256-wide MXU dispatch runs ~2x the FLOP rate of
-    two 128-wide ones."""
+    two 128-wide ones.
+
+    ``conv_impl="matmul"`` evaluates the separable convs as tap-stacked
+    im2col matmuls (`ops/im2col.py`) — identical parameter tree and math,
+    but channel-minor end to end, avoiding the per-call layout transpose
+    XLA's width-minor (1,5) conv lowering forces."""
     hidden_dim: int = 128
     dtype: Any = jnp.float32
+    conv_impl: str = "conv"
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        def make(features, kernel, name):
+            if self.conv_impl == "matmul":
+                return Conv1dMatmul(features=features, kernel_size=kernel,
+                                    dtype=self.dtype, name=name)
+            return _conv(features, kernel, name, dtype=self.dtype)
+
         h = h.astype(self.dtype)
         x = x.astype(self.dtype)
         for suffix, kernel in (("1", (1, 5)), ("2", (5, 1))):
             hx = jnp.concatenate([h, x], axis=-1)
-            zr = nn.sigmoid(_conv(2 * self.hidden_dim, kernel,
-                                  f"convzr{suffix}", dtype=self.dtype)(hx))
+            zr = nn.sigmoid(make(2 * self.hidden_dim, kernel,
+                                 f"convzr{suffix}")(hx))
             z, r = jnp.split(zr, 2, axis=-1)
-            q = jnp.tanh(_conv(self.hidden_dim, kernel, f"convq{suffix}",
-                               dtype=self.dtype)(
+            q = jnp.tanh(make(self.hidden_dim, kernel, f"convq{suffix}")(
                 jnp.concatenate([r * h, x], axis=-1)))
             h = (1.0 - z) * h + z * q
         return h
@@ -186,6 +199,7 @@ class DepthUpdateCell(nn.Module):
     context_dim: int = 32
     ratio: int = 8
     dtype: Any = jnp.float32
+    conv_impl: str = "conv"
 
     @nn.compact
     def __call__(self, net, inv_depth, cost, context):
@@ -194,7 +208,7 @@ class DepthUpdateCell(nn.Module):
             dtype=self.dtype, name="encoder")(inv_depth, cost)
         inp = jnp.concatenate([context, feats], axis=-1)
         net = SepConvGRU(hidden_dim=self.hidden_dim, dtype=self.dtype,
-                         name="gru")(net, inp)
+                         conv_impl=self.conv_impl, name="gru")(net, inp)
         delta = DepthHead(hidden_dim=self.hidden_dim, dtype=self.dtype,
                           name="head")(net)
         return net, delta
@@ -223,6 +237,7 @@ class PoseUpdateCell(nn.Module):
     hidden_dim: int = 128
     context_dim: int = 32
     dtype: Any = jnp.float32
+    conv_impl: str = "conv"
 
     @nn.compact
     def __call__(self, net, pose, cost, context):
@@ -231,7 +246,7 @@ class PoseUpdateCell(nn.Module):
             dtype=self.dtype, name="encoder")(pose, cost)
         inp = jnp.concatenate([context, feats], axis=-1)
         net = SepConvGRU(hidden_dim=self.hidden_dim, dtype=self.dtype,
-                         name="gru")(net, inp)
+                         conv_impl=self.conv_impl, name="gru")(net, inp)
         delta = PoseHead(hidden_dim=self.hidden_dim, dtype=self.dtype,
                          name="head")(net)
         return net, delta

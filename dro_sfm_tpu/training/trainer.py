@@ -60,6 +60,7 @@ def model_config_from(cfg) -> SfmModelConfig:
         min_depth=min_depth, max_depth=max_depth,
         mixed_precision=bool(cfg.model.depth_net.get("mixed_precision", False)),
         warp_impl=cfg.model.depth_net.get("warp_impl", "gather"),
+        sep_conv=cfg.model.depth_net.get("sep_conv", "conv"),
         remat=bool(cfg.model.depth_net.get("remat", True)),
         scan_unroll=cfg.model.depth_net.get("scan_unroll", "none"),
         flip_lr_prob=loss.flip_lr_prob,

@@ -204,6 +204,7 @@ DEFAULTS: Dict[str, Any] = {
                       # (HBM).
                       "mixed_precision": True,
                       "warp_impl": "pallas",
+                      "sep_conv": "conv",
                       "remat": False,
                       "scan_unroll": "full",
                       "pretrained_encoders": ""},

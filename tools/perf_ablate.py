@@ -49,7 +49,8 @@ def make_batch(b, n, h, w):
 
 
 def time_variant(name, batch, b, n_steps, *, mixed_precision, warp_impl,
-                 remat, version="it12-h-out", scan_unroll="none"):
+                 remat, version="it12-h-out", scan_unroll="none",
+                 sep_conv="conv"):
     import jax
 
     from dro_sfm_tpu.models.sfm import SfmModelConfig
@@ -60,7 +61,8 @@ def time_variant(name, batch, b, n_steps, *, mixed_precision, warp_impl,
     model_cfg = SfmModelConfig(
         name="SupModelMF", version=version, min_depth=0.2,
         max_depth=80.0, flip_lr_prob=0.5, mixed_precision=mixed_precision,
-        warp_impl=warp_impl, remat=remat, scan_unroll=scan_unroll)
+        warp_impl=warp_impl, remat=remat, scan_unroll=scan_unroll,
+        sep_conv=sep_conv)
     net = model_cfg.build_net()
     cfg = load_config()
     tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
@@ -89,7 +91,7 @@ def time_variant(name, batch, b, n_steps, *, mixed_precision, warp_impl,
     rec = {
         "variant": name, "batch": b, "version": version,
         "mixed_precision": mixed_precision, "warp_impl": warp_impl,
-        "remat": remat, "scan_unroll": scan_unroll,
+        "remat": remat, "scan_unroll": scan_unroll, "sep_conv": sep_conv,
         "step_ms": round(dt / n_steps * 1e3, 2),
         "frames_per_sec": round(b * n_steps / dt, 2),
         "compile_s": round(compile_s, 1),
@@ -136,6 +138,18 @@ VARIANTS = [
                                               remat=True)),
     ("bf16-b12-unroll-full-pallas", dict(batch=12, scan_unroll="full",
                                          warp_impl="pallas")),
+    # champion-config iteration sweep: fixed cost vs per-refinement-
+    # iteration cost at the shipped defaults (docs/perf_notes_r3.md)
+    ("champ-it0", dict(batch=8, version="it0-h-out", scan_unroll="full",
+                       warp_impl="pallas")),
+    ("champ-it4", dict(batch=8, version="it4-h-out", scan_unroll="full",
+                       warp_impl="pallas")),
+    ("champ-it8", dict(batch=8, version="it8-h-out", scan_unroll="full",
+                       warp_impl="pallas")),
+    ("champ-it12", dict(batch=8, scan_unroll="full", warp_impl="pallas")),
+    # separable-conv formulation A/B: lax conv vs tap-stacked im2col matmul
+    ("champ-it12-sepmm", dict(batch=8, scan_unroll="full",
+                              warp_impl="pallas", sep_conv="matmul")),
 ]
 
 

@@ -30,6 +30,8 @@ def main():
     ap.add_argument("--mixed-precision", action="store_true")
     ap.add_argument("--remat", action="store_true")
     ap.add_argument("--unroll", default="none")
+    ap.add_argument("--warp", default="gather",
+                    help="warp_impl: gather | matmul | pallas")
     args = ap.parse_args()
 
     import jax
@@ -45,7 +47,7 @@ def main():
     model_cfg = SfmModelConfig(
         name="SupModelMF", version="it12-h-out", min_depth=0.2, max_depth=80.0,
         flip_lr_prob=0.0, mixed_precision=args.mixed_precision,
-        remat=args.remat, scan_unroll=args.unroll)
+        remat=args.remat, scan_unroll=args.unroll, warp_impl=args.warp)
     net = model_cfg.build_net()
     cfg = load_config()
     tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 1000)
