@@ -167,6 +167,7 @@ def test_dense_ba_recovers_depth_scale(rng):
                                atol=1e-2)
 
 
+@pytest.mark.slow
 def test_sharded_accumulate_matches_dense(rng):
     """Edge-sharded psum accumulation == single-device accumulation."""
     from dro_sfm_tpu.parallel.mesh import make_mesh

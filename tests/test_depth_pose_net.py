@@ -84,6 +84,7 @@ def test_last_only_matches_full_stack(net_and_vars):
                                np.asarray(full["pose_vecs"]), atol=1e-6)
 
 
+@pytest.mark.slow
 def test_selfsup_loss_and_grads(net_and_vars):
     net, variables, batch = net_and_vars
     cfg = SfmModelConfig(name="SelfSupModelMF", version="it4-h-out")
@@ -101,6 +102,7 @@ def test_selfsup_loss_and_grads(net_and_vars):
     assert max(norms) > 0.0
 
 
+@pytest.mark.slow
 def test_sup_loss_and_grads(net_and_vars):
     net, variables, batch = net_and_vars
     cfg = SfmModelConfig(name="SupModelMF", version="it4-h-out")

@@ -5,6 +5,7 @@ per-step 'loss'/'learning rate' logging in `model_wrapper.py:229-247`).
 Uses a recording fake logger — no wandb dependency.
 """
 import numpy as np
+import pytest
 
 from dro_sfm_tpu.utils.config import load_config
 
@@ -30,6 +31,7 @@ class RecordingLogger:
         self.finished = True
 
 
+@pytest.mark.slow
 def test_trainer_logs_steps_and_depth_panels(tmp_path, monkeypatch):
     import dro_sfm_tpu.loggers as loggers
     from dro_sfm_tpu.training.trainer import Trainer

@@ -296,6 +296,7 @@ def test_overfit_kitti_config_through_cli(tmp_path):
     assert any(f.endswith(".ckpt") for f in os.listdir(tmp_path / "ckpt"))
 
 
+@pytest.mark.slow
 def test_preemption_checkpoints_and_resumes(tmp_path):
     """SIGTERM during fit saves an emergency checkpoint; resuming from it
     re-runs the interrupted epoch (beyond-reference graceful preemption —
