@@ -56,7 +56,9 @@ class SfmModelConfig:
     sep_conv: str = "conv"                # refinement (1,k)/(k,1) convs:
                                           # "conv" (lax conv) | "matmul"
                                           # (tap-stacked im2col matmul,
-                                          # ops/im2col.py)
+                                          # ops/im2col.py) | "pallas"
+                                          # (fused single-dispatch GRU
+                                          # pass, ops/pallas/gru_pass.py)
     remat: bool = True                    # recompute refinement steps in bwd
     scan_unroll: str = "none"             # none | inner | full: unroll the
                                           # refinement scans for cross-step

@@ -9,11 +9,32 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 from dro_sfm_tpu.ops.im2col import Conv1dMatmul
 
 _conv_init = nn.initializers.he_normal()
+
+
+class _ConvParams(nn.Module):
+    """Declare an ``nn.Conv``-identical parameter pair (kernel + bias)
+    without the conv op — the Pallas GRU pass consumes the raw weights.
+    Same tree as ``nn.Conv(features, kernel_size)``, so checkpoints and
+    converted reference weights load on every ``conv_impl`` path."""
+    kernel_size: tuple
+    in_features: int
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        kh, kw = self.kernel_size
+        kernel = self.param("kernel", _conv_init,
+                            (kh, kw, self.in_features, self.features),
+                            jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros,
+                          (self.features,), jnp.float32)
+        return kernel, bias
 
 
 def _conv(features, kernel, name, padding=None, dtype=jnp.float32):
@@ -98,15 +119,30 @@ class SepConvGRU(nn.Module):
     ``conv_impl="matmul"`` evaluates the separable convs as tap-stacked
     im2col matmuls (`ops/im2col.py`) — identical parameter tree and math,
     but channel-minor end to end, avoiding the per-call layout transpose
-    XLA's width-minor (1,5) conv lowering forces."""
+    XLA's width-minor (1,5) conv lowering forces.
+
+    ``conv_impl="pallas"`` runs each directional pass as ONE fused Pallas
+    kernel (`ops/pallas/gru_pass.py`): both convs, the gate chain and the
+    state update execute in a single dispatch with the whole map resident
+    in VMEM, and the backward recomputes on-chip. Identical parameter tree
+    (`_ConvParams`); gate math on fp32 accumulators (a strict accuracy
+    improvement over the bf16-conv path, within mixed-precision noise).
+    TPU-only — other backends silently use the "conv" path, like the
+    pallas->matmul warp fallback in `models/depth_pose_net.py`."""
     hidden_dim: int = 128
     dtype: Any = jnp.float32
     conv_impl: str = "conv"
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        impl = self.conv_impl
+        if impl == "pallas" and jax.default_backend() != "tpu":
+            impl = "conv"
+        if impl == "pallas":
+            return self._pallas_passes(h, x)
+
         def make(features, kernel, name):
-            if self.conv_impl == "matmul":
+            if impl == "matmul":
                 return Conv1dMatmul(features=features, kernel_size=kernel,
                                     dtype=self.dtype, name=name)
             return _conv(features, kernel, name, dtype=self.dtype)
@@ -121,6 +157,22 @@ class SepConvGRU(nn.Module):
             q = jnp.tanh(make(self.hidden_dim, kernel, f"convq{suffix}")(
                 jnp.concatenate([r * h, x], axis=-1)))
             h = (1.0 - z) * h + z * q
+        return h
+
+    def _pallas_passes(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        from dro_sfm_tpu.ops.pallas.gru_pass import K_TAPS, gru_sep1d_pass
+
+        h = h.astype(self.dtype)
+        x = x.astype(self.dtype)
+        d = self.hidden_dim
+        cin = d + x.shape[-1]
+        for suffix, axis in (("1", 2), ("2", 1)):      # (1,5) then (5,1)
+            ksz = (1, K_TAPS) if axis == 2 else (K_TAPS, 1)
+            wzr, bzr = _ConvParams(ksz, cin, 2 * d,
+                                   name=f"convzr{suffix}")()
+            wq, bq = _ConvParams(ksz, cin, d, name=f"convq{suffix}")()
+            h = gru_sep1d_pass(h, x, wzr.reshape(K_TAPS, cin, 2 * d), bzr,
+                               wq.reshape(K_TAPS, cin, d), bq, axis)
         return h
 
 

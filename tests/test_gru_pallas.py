@@ -1,0 +1,101 @@
+"""Parity of the fused Pallas SepConvGRU pass vs the flax conv reference.
+
+The kernel (`dro_sfm_tpu/ops/pallas/gru_pass.py`) must match
+`SepConvGRU(conv_impl="conv")` — same parameter tree, same math — in both
+the forward values and every gradient (hidden state, input, conv kernels,
+biases), since it replaces the conv path inside the training step.
+Runs in Pallas interpret mode on the CPU mesh; the TPU A/B lives in
+`tools/perf_ablate.py` (`champ-it12-grupallas`).
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from dro_sfm_tpu.models.update import SepConvGRU
+from dro_sfm_tpu.ops.pallas.gru_pass import K_TAPS, gru_sep1d_pass
+
+B, H, W, D, CX = 2, 8, 16, 32, 24
+
+
+@pytest.fixture(scope="module")
+def inputs():
+    rng = np.random.default_rng(0)
+    h = jnp.asarray(rng.normal(size=(B, H, W, D)), jnp.float32)
+    x = jnp.asarray(rng.normal(size=(B, H, W, CX)), jnp.float32)
+    params = SepConvGRU(hidden_dim=D).init(jax.random.PRNGKey(1), h, x)
+    return h, x, params
+
+
+def _pallas_cell(params, h, x, interpret=True):
+    """Both directional passes through the Pallas kernel, reading the
+    flax parameter tree (the exact wiring `SepConvGRU._pallas_passes`
+    uses, with interpret forced for the CPU test mesh)."""
+    p = params["params"]
+    cin = D + CX
+    for suffix, axis in (("1", 2), ("2", 1)):
+        wzr = p[f"convzr{suffix}"]["kernel"].reshape(K_TAPS, cin, 2 * D)
+        bzr = p[f"convzr{suffix}"]["bias"]
+        wq = p[f"convq{suffix}"]["kernel"].reshape(K_TAPS, cin, D)
+        bq = p[f"convq{suffix}"]["bias"]
+        h = gru_sep1d_pass(h, x, wzr, bzr, wq, bq, axis, interpret)
+    return h
+
+
+def test_forward_matches_conv_reference(inputs):
+    h, x, params = inputs
+    ref = SepConvGRU(hidden_dim=D).apply(params, h, x)
+    got = _pallas_cell(params, h, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_gradients_match_conv_reference(inputs):
+    h, x, params = inputs
+
+    def loss_ref(params, h, x):
+        out = SepConvGRU(hidden_dim=D).apply(params, h, x)
+        return jnp.sum(out * jnp.cos(out))   # non-trivial cotangent
+
+    def loss_pallas(params, h, x):
+        out = _pallas_cell(params, h, x)
+        return jnp.sum(out * jnp.cos(out))
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(params, h, x)
+    g_got = jax.grad(loss_pallas, argnums=(0, 1, 2))(params, h, x)
+    ref_leaves = jax.tree_util.tree_leaves_with_path(g_ref)
+    got_leaves = jax.tree_util.tree_leaves_with_path(g_got)
+    assert len(ref_leaves) == len(got_leaves)
+    for (path_r, leaf_r), (path_g, leaf_g) in zip(ref_leaves, got_leaves):
+        assert path_r == path_g
+        np.testing.assert_allclose(
+            np.asarray(leaf_g), np.asarray(leaf_r), rtol=2e-4, atol=2e-4,
+            err_msg=jax.tree_util.keystr(path_r))
+
+
+def test_bf16_forward_close_to_fp32(inputs):
+    """bf16 inputs run the bf16 MXU path with fp32 gate accumulators —
+    the result must sit within bf16 rounding of the fp32 reference."""
+    h, x, params = inputs
+    ref = SepConvGRU(hidden_dim=D).apply(params, h, x)
+    got = _pallas_cell(params, h.astype(jnp.bfloat16),
+                       x.astype(jnp.bfloat16))
+    assert got.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(ref), rtol=0.05, atol=0.05)
+
+
+def test_module_parameter_tree_identical(inputs):
+    """conv_impl='pallas' must declare the exact same parameter tree as
+    the conv path (checkpoint + converted-reference-weight compat)."""
+    h, x, params = inputs
+    p2 = SepConvGRU(hidden_dim=D, conv_impl="pallas").init(
+        jax.random.PRNGKey(1), h, x)
+    ref_shapes = jax.tree_util.tree_map(jnp.shape, params)
+    got_shapes = jax.tree_util.tree_map(jnp.shape, p2)
+    assert ref_shapes == got_shapes
+    # On the CPU test backend the module falls back to the conv path with
+    # the same params — apply must reproduce the reference exactly.
+    out = SepConvGRU(hidden_dim=D, conv_impl="pallas").apply(params, h, x)
+    ref = SepConvGRU(hidden_dim=D).apply(params, h, x)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))

@@ -150,6 +150,9 @@ VARIANTS = [
     # separable-conv formulation A/B: lax conv vs tap-stacked im2col matmul
     ("champ-it12-sepmm", dict(batch=8, scan_unroll="full",
                               warp_impl="pallas", sep_conv="matmul")),
+    # fused single-dispatch Pallas GRU pass (ops/pallas/gru_pass.py)
+    ("champ-it12-grupallas", dict(batch=8, scan_unroll="full",
+                                  warp_impl="pallas", sep_conv="pallas")),
 ]
 
 

@@ -32,6 +32,8 @@ def main():
     ap.add_argument("--unroll", default="none")
     ap.add_argument("--warp", default="gather",
                     help="warp_impl: gather | matmul | pallas")
+    ap.add_argument("--sep-conv", default="conv",
+                    help="sep_conv: conv | matmul | pallas")
     args = ap.parse_args()
 
     import jax
@@ -47,7 +49,8 @@ def main():
     model_cfg = SfmModelConfig(
         name="SupModelMF", version="it12-h-out", min_depth=0.2, max_depth=80.0,
         flip_lr_prob=0.0, mixed_precision=args.mixed_precision,
-        remat=args.remat, scan_unroll=args.unroll, warp_impl=args.warp)
+        remat=args.remat, scan_unroll=args.unroll, warp_impl=args.warp,
+        sep_conv=args.sep_conv)
     net = model_cfg.build_net()
     cfg = load_config()
     tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler, 1000)
