@@ -72,7 +72,7 @@ def measure(b, n, h, w, n_steps=20):
     import jax
     import jax.numpy as jnp
 
-    from dro_sfm_tpu.models.sfm import SfmModelConfig
+    from dro_sfm_tpu.models.sfm import SfmModelConfig, resolve_memory_policy
     from dro_sfm_tpu.training.state import create_train_state, make_optimizer
     from dro_sfm_tpu.training.step import make_train_step
     from dro_sfm_tpu.utils.config import load_config
@@ -95,11 +95,15 @@ def measure(b, n, h, w, n_steps=20):
             jnp.eye(4, dtype=jnp.float32), (b, n, 4, 4)),
     }
 
+    # "auto" knobs resolve per operating point: the no-remat fast path at
+    # the primary 192x640 b8 point, remat above ~1.1M batch-pixels (e.g.
+    # the reference KITTI point 320x960 b8, which OOMs without it).
+    remat, scan_unroll = resolve_memory_policy("auto", "auto", b, (h, w))
     model_cfg = SfmModelConfig(name="SupModelMF", version="it12-h-out",
                                min_depth=0.2, max_depth=80.0,
                                flip_lr_prob=0.5,
-                               mixed_precision=True, remat=False,
-                               scan_unroll="full", warp_impl="pallas")
+                               mixed_precision=True, remat=remat,
+                               scan_unroll=scan_unroll, warp_impl="pallas")
     net = model_cfg.build_net()
     cfg = load_config()
     tx = make_optimizer(cfg.model.optimizer, cfg.model.scheduler,
@@ -166,11 +170,17 @@ def main():
     r = measure(8, 2, 192, 640)
     # Reference operating point: the upstream KITTI recipe trains 320x960
     # (`/root/reference/configs/train_kitti_mf_gt.yaml:28-33`).
+    ref_error = None
     try:
         r_ref = measure(8, 2, 320, 960)
     except Exception as e:  # OOM / compile failure must not kill the series
         print(f"bench.py: 320x960 point failed: {e!r}", file=__import__("sys").stderr)
         r_ref = None
+        # Record the failure EXPLICITLY in the artifact — an absent field
+        # reads as "never attempted" (round-3 lesson).
+        msg = repr(e)
+        ref_error = ("OOM: " + msg[:160] if "RESOURCE_EXHAUSTED" in msg
+                     or "Out of memory" in msg else msg[:200])
 
     baseline = None
     if os.path.exists(BASELINE_FILE):
@@ -203,6 +213,8 @@ def main():
                 (r_ref["step_ms"] / r["step_ms"])
                 / ((320 * 960) / (192 * 640)), 3),
         })
+    else:
+        out["frames_per_sec_320x960_b8"] = ref_error
     print(json.dumps(out))
 
 

@@ -31,12 +31,17 @@ def register_dataset(name: str):
 
 def _synthetic_factory(path, split, mode, image_shape, jittering, section):
     """'Synthetic' dataset entry: ``path`` encodes the seed, ``split`` the
-    scene count (fixture-free stand-in for KITTI_tiny)."""
+    scene count (fixture-free stand-in for KITTI_tiny). Scenes render
+    NATIVELY at ``image_shape`` (the renderer is analytic — any resolution
+    is exact), so flagship-resolution training (192x640) gets full-detail
+    frames instead of upsampled 96x128 ones and the resize is a no-op."""
     n_ctx = int(section.back_context) + int(section.forward_context)
     cfg = SyntheticConfig(
         num_scenes=int(split) if str(split).isdigit() else 8,
         num_context=max(n_ctx, 1),
         seed=int(path) if str(path).isdigit() else 0)
+    if image_shape:
+        cfg.height, cfg.width = int(image_shape[0]), int(image_shape[1])
     return SyntheticDataset(cfg, mode=mode, image_shape=image_shape,
                             jittering=jittering if mode == "train" else ())
 

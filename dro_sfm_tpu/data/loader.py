@@ -174,6 +174,35 @@ class DataLoader:
             stop.set()
 
 
+def device_prefetch(iterable, place_fn, depth: int = 2):
+    """Overlap host->device transfer with compute: keep up to ``depth``
+    batches placed on device ahead of the consumer.
+
+    ``place_fn(batch) -> placed`` is dispatched eagerly (jax.device_put /
+    make_array_from_process_local_data are asynchronous — they return
+    immediately with transfers in flight), so while the train step for
+    batch *i* executes on the TPU, batch *i+1*'s copy rides the PCIe/ICI
+    concurrently instead of serializing in front of the next dispatch.
+    Yields ``(batch, placed)`` pairs in order. The torch analogue is
+    pinned-memory + non_blocking copies, which the reference's
+    `sample_to_cuda` (`trainers/base_trainer.py:8-18`) never did.
+    """
+    from collections import deque
+
+    buf = deque()
+    it = iter(iterable)
+    try:
+        while True:
+            while len(buf) < depth:
+                batch = next(it)
+                buf.append((batch, place_fn(batch)))
+            yield buf.popleft()
+    except StopIteration:
+        pass
+    while buf:
+        yield buf.popleft()
+
+
 def make_loader(dataset: Dataset, batch_size: int, mode: str,
                 num_workers: int = 4, seed: int = 42,
                 num_shards: Optional[int] = None,

@@ -365,7 +365,10 @@ class DepthPoseNet(nn.Module):
                               # geometry, GRU states and heads stay fp32
     warp_impl: str = "gather"  # "gather" | "matmul" | "pallas" (see warp_cost)
     sep_conv: str = "conv"     # refinement separable convs: "conv" | "matmul"
-                               # (tap-stacked im2col matmul, ops/im2col.py)
+                               # (tap-stacked im2col matmul, ops/im2col.py) |
+                               # "pallas" (fused single-dispatch GRU pass,
+                               # ops/pallas/gru_pass.py; TPU-only, falls back
+                               # to "conv" elsewhere — models/update.py)
     remat: bool = True         # recompute refinement steps in the backward
     unroll: str = "none"       # none | inner | full — unroll the refinement
                                # scans (runtime fusion vs compile time)

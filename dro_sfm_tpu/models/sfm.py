@@ -33,6 +33,35 @@ from dro_sfm_tpu.ops.image import flip_intrinsics, flip_lr
 
 MF_MODEL_NAMES = ("SfmModelMF", "SelfSupModelMF", "SupModelMF",
                   "SemiSupModelMFPose")
+
+# Memory-aware perf-knob policy (v5e, 16 GB HBM). The fast path (no remat,
+# fully-unrolled refinement scans) keeps O(iters x seq) inner activations
+# alive through the backward; past ~1M batch-pixels that working set
+# exhausts HBM — measured: 192x640 b8 (0.98M) trains without remat,
+# 192x640 b16 (1.97M) and the reference KITTI operating point 320x960 b8
+# (2.46M) OOM without it (BENCH_r03 tail). "auto" knobs resolve against
+# this threshold so big-resolution configs degrade to the remat path
+# instead of dying in an XLA allocation dump.
+REMAT_AUTO_BATCH_PIXELS = 1_100_000
+
+
+def resolve_memory_policy(remat, scan_unroll, batch_size: int,
+                          image_shape) -> Tuple[bool, str]:
+    """Resolve "auto" perf knobs for an operating point.
+
+    ``remat``: True/False pass through; "auto" (or None) enables remat
+    above `REMAT_AUTO_BATCH_PIXELS` batch-pixels. ``scan_unroll``: "auto"
+    resolves to "full" (the measured fast path — cross-step fusion) — with
+    remat on, the inner scans recompute per step so unrolling no longer
+    multiplies live activations. Returns (remat, scan_unroll) resolved.
+    """
+    h, w = int(image_shape[0]), int(image_shape[1])
+    batch_pixels = int(batch_size) * h * w
+    if remat in ("auto", None):
+        remat = batch_pixels > REMAT_AUTO_BATCH_PIXELS
+    if scan_unroll in ("auto", None):
+        scan_unroll = "full"
+    return bool(remat), str(scan_unroll)
 # Single-frame task family (monodepth2-lineage depth/pose nets,
 # `/root/reference/dro_sfm/models/SfmModel.py:12-156`): same loss
 # compositions applied to the separate depth_net + pose_net pair.

@@ -128,15 +128,19 @@ class SepConvGRU(nn.Module):
     (`_ConvParams`); gate math on fp32 accumulators (a strict accuracy
     improvement over the bf16-conv path, within mixed-precision noise).
     TPU-only — other backends silently use the "conv" path, like the
-    pallas->matmul warp fallback in `models/depth_pose_net.py`."""
+    pallas->matmul warp fallback in `models/depth_pose_net.py` — unless
+    ``pallas_interpret`` forces the kernel through the Pallas interpreter
+    (CI parity tests of the real `_pallas_passes` wiring on CPU)."""
     hidden_dim: int = 128
     dtype: Any = jnp.float32
     conv_impl: str = "conv"
+    pallas_interpret: bool = False
 
     @nn.compact
     def __call__(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
         impl = self.conv_impl
-        if impl == "pallas" and jax.default_backend() != "tpu":
+        if (impl == "pallas" and not self.pallas_interpret
+                and jax.default_backend() != "tpu"):
             impl = "conv"
         if impl == "pallas":
             return self._pallas_passes(h, x)
@@ -172,7 +176,8 @@ class SepConvGRU(nn.Module):
                                    name=f"convzr{suffix}")()
             wq, bq = _ConvParams(ksz, cin, d, name=f"convq{suffix}")()
             h = gru_sep1d_pass(h, x, wzr.reshape(K_TAPS, cin, 2 * d), bzr,
-                               wq.reshape(K_TAPS, cin, d), bq, axis)
+                               wq.reshape(K_TAPS, cin, d), bq, axis,
+                               self.pallas_interpret)
         return h
 
 

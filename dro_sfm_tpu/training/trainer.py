@@ -54,6 +54,14 @@ def model_config_from(cfg) -> SfmModelConfig:
     # losses (`model_wrapper.py:570-583`).
     min_depth = cfg.model.params.min_depth or 0.1
     max_depth = cfg.model.params.max_depth
+    # "auto" perf knobs resolve against the TRAIN operating point (remat
+    # only affects the backward pass; eval never rematerializes).
+    from dro_sfm_tpu.models.sfm import resolve_memory_policy
+    remat, scan_unroll = resolve_memory_policy(
+        cfg.model.depth_net.get("remat", True),
+        cfg.model.depth_net.get("scan_unroll", "none"),
+        cfg.datasets.train.batch_size,
+        cfg.datasets.augmentation.image_shape)
     return SfmModelConfig(
         name=cfg.model.name,
         version=cfg.model.depth_net.version,
@@ -61,8 +69,8 @@ def model_config_from(cfg) -> SfmModelConfig:
         mixed_precision=bool(cfg.model.depth_net.get("mixed_precision", False)),
         warp_impl=cfg.model.depth_net.get("warp_impl", "gather"),
         sep_conv=cfg.model.depth_net.get("sep_conv", "conv"),
-        remat=bool(cfg.model.depth_net.get("remat", True)),
-        scan_unroll=cfg.model.depth_net.get("scan_unroll", "none"),
+        remat=remat,
+        scan_unroll=scan_unroll,
         flip_lr_prob=loss.flip_lr_prob,
         supervised_loss_weight=loss.supervised_loss_weight,
         progressive_scaling=loss.get("progressive_scaling", 0.0),
@@ -263,7 +271,17 @@ class Trainer:
         # (ref `model_wrapper.py:156-158` current_epoch / max_epochs)
         progress = float(epoch) / max(self.cfg.arch.max_epochs, 1)
         multi_host = jax.process_count() > 1
-        for i, batch in enumerate(self.train_loader):
+
+        def place(batch):
+            arrays = {k: v for k, v in batch.items()
+                      if isinstance(v, np.ndarray) and k != "valid"}
+            return shard_batch(arrays, self.mesh, spatial=self.spatial > 1)
+
+        # Double-buffered device placement: batch i+1's host->device copy
+        # overlaps batch i's step (data/loader.py device_prefetch).
+        from dro_sfm_tpu.data.loader import device_prefetch
+        for i, (batch, arrays) in enumerate(
+                device_prefetch(self.train_loader, place, depth=2)):
             # Stop promptly on preemption; fit() saves the emergency ckpt.
             # Multi-host: only at the shared 10-step cadence, by consensus
             # (hosts must all stop at the same step or collectives hang).
@@ -272,10 +290,6 @@ class Trainer:
                     break
             elif getattr(self, "_preempted", False):
                 break
-            arrays = {k: v for k, v in batch.items()
-                      if isinstance(v, np.ndarray) and k != "valid"}
-            arrays = shard_batch(arrays, self.mesh,
-                                 spatial=self.spatial > 1)
             self.state, metrics = self.train_step(self.state, arrays, rng,
                                                   progress)
             n_frames += batch["rgb"].shape[0]

@@ -82,6 +82,10 @@ class ConfigNode:
 def _coerce(cur, new, path):
     if cur is None or new is None:
         return new
+    # Tri-state perf knobs: the default is the string "auto", overridable
+    # with an explicit bool (model.depth_net.remat) or string.
+    if cur == "auto" or new == "auto":
+        return new
     if isinstance(cur, bool) != isinstance(new, bool):
         raise TypeError(f"Type mismatch at {path}: {type(cur)} vs {type(new)}")
     if isinstance(cur, float) and isinstance(new, int):
@@ -200,13 +204,17 @@ DEFAULTS: Dict[str, Any] = {
                       # refinement scans + fused Pallas tent-warp + no
                       # remat = 72.2 ms/step vs 123.6 fp32-gather-remat at
                       # b4 192x640 it12-h-out; pallas degrades to matmul
-                      # off-TPU). remat must be re-enabled for batch >= 16
-                      # (HBM).
+                      # off-TPU). remat/scan_unroll default to "auto": the
+                      # memory policy (models/sfm.py resolve_memory_policy)
+                      # re-enables remat above ~1.1M train batch-pixels —
+                      # 192x640 b16 and the reference KITTI point 320x960
+                      # b8 OOM on the no-remat fast path. True/False/named
+                      # values pin the knob explicitly.
                       "mixed_precision": True,
                       "warp_impl": "pallas",
                       "sep_conv": "conv",
-                      "remat": False,
-                      "scan_unroll": "full",
+                      "remat": "auto",
+                      "scan_unroll": "auto",
                       "pretrained_encoders": ""},
         "pose_net": {"name": "", "checkpoint_path": "", "version": "",
                      "dropout": 0.0},

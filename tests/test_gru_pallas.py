@@ -4,8 +4,10 @@ The kernel (`dro_sfm_tpu/ops/pallas/gru_pass.py`) must match
 `SepConvGRU(conv_impl="conv")` — same parameter tree, same math — in both
 the forward values and every gradient (hidden state, input, conv kernels,
 biases), since it replaces the conv path inside the training step.
-Runs in Pallas interpret mode on the CPU mesh; the TPU A/B lives in
-`tools/perf_ablate.py` (`champ-it12-grupallas`).
+All tests drive the REAL module wiring (`SepConvGRU._pallas_passes`) with
+``pallas_interpret=True``, so the reshape/axis-order/cast plumbing the
+checkpoint-compat claim rests on runs in CI on the CPU mesh; the TPU A/B
+lives in `tools/perf_ablate.py` (`champ-it12-grupallas`).
 """
 import jax
 import jax.numpy as jnp
@@ -13,9 +15,14 @@ import numpy as np
 import pytest
 
 from dro_sfm_tpu.models.update import SepConvGRU
-from dro_sfm_tpu.ops.pallas.gru_pass import K_TAPS, gru_sep1d_pass
 
 B, H, W, D, CX = 2, 8, 16, 32, 24
+
+# The production module with the Pallas path forced through the
+# interpreter (on TPU this compiles the real kernel instead).
+PALLAS_GRU = SepConvGRU(hidden_dim=D, conv_impl="pallas",
+                        pallas_interpret=jax.default_backend() != "tpu")
+CONV_GRU = SepConvGRU(hidden_dim=D)
 
 
 @pytest.fixture(scope="module")
@@ -23,29 +30,14 @@ def inputs():
     rng = np.random.default_rng(0)
     h = jnp.asarray(rng.normal(size=(B, H, W, D)), jnp.float32)
     x = jnp.asarray(rng.normal(size=(B, H, W, CX)), jnp.float32)
-    params = SepConvGRU(hidden_dim=D).init(jax.random.PRNGKey(1), h, x)
+    params = CONV_GRU.init(jax.random.PRNGKey(1), h, x)
     return h, x, params
-
-
-def _pallas_cell(params, h, x, interpret=True):
-    """Both directional passes through the Pallas kernel, reading the
-    flax parameter tree (the exact wiring `SepConvGRU._pallas_passes`
-    uses, with interpret forced for the CPU test mesh)."""
-    p = params["params"]
-    cin = D + CX
-    for suffix, axis in (("1", 2), ("2", 1)):
-        wzr = p[f"convzr{suffix}"]["kernel"].reshape(K_TAPS, cin, 2 * D)
-        bzr = p[f"convzr{suffix}"]["bias"]
-        wq = p[f"convq{suffix}"]["kernel"].reshape(K_TAPS, cin, D)
-        bq = p[f"convq{suffix}"]["bias"]
-        h = gru_sep1d_pass(h, x, wzr, bzr, wq, bq, axis, interpret)
-    return h
 
 
 def test_forward_matches_conv_reference(inputs):
     h, x, params = inputs
-    ref = SepConvGRU(hidden_dim=D).apply(params, h, x)
-    got = _pallas_cell(params, h, x)
+    ref = CONV_GRU.apply(params, h, x)
+    got = PALLAS_GRU.apply(params, h, x)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                rtol=1e-5, atol=1e-5)
 
@@ -54,11 +46,11 @@ def test_gradients_match_conv_reference(inputs):
     h, x, params = inputs
 
     def loss_ref(params, h, x):
-        out = SepConvGRU(hidden_dim=D).apply(params, h, x)
+        out = CONV_GRU.apply(params, h, x)
         return jnp.sum(out * jnp.cos(out))   # non-trivial cotangent
 
     def loss_pallas(params, h, x):
-        out = _pallas_cell(params, h, x)
+        out = PALLAS_GRU.apply(params, h, x)
         return jnp.sum(out * jnp.cos(out))
 
     g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(params, h, x)
@@ -77,9 +69,12 @@ def test_bf16_forward_close_to_fp32(inputs):
     """bf16 inputs run the bf16 MXU path with fp32 gate accumulators —
     the result must sit within bf16 rounding of the fp32 reference."""
     h, x, params = inputs
-    ref = SepConvGRU(hidden_dim=D).apply(params, h, x)
-    got = _pallas_cell(params, h.astype(jnp.bfloat16),
-                       x.astype(jnp.bfloat16))
+    ref = CONV_GRU.apply(params, h, x)
+    bf16_gru = SepConvGRU(hidden_dim=D, conv_impl="pallas",
+                          pallas_interpret=PALLAS_GRU.pallas_interpret,
+                          dtype=jnp.bfloat16)
+    got = bf16_gru.apply(params, h.astype(jnp.bfloat16),
+                         x.astype(jnp.bfloat16))
     assert got.dtype == jnp.bfloat16
     np.testing.assert_allclose(np.asarray(got, np.float32),
                                np.asarray(ref), rtol=0.05, atol=0.05)
@@ -87,15 +82,21 @@ def test_bf16_forward_close_to_fp32(inputs):
 
 def test_module_parameter_tree_identical(inputs):
     """conv_impl='pallas' must declare the exact same parameter tree as
-    the conv path (checkpoint + converted-reference-weight compat)."""
+    the conv path (checkpoint + converted-reference-weight compat) — with
+    ``pallas_interpret`` forcing init through the REAL `_pallas_passes`
+    branch (on CPU the un-forced module would rewrite impl to 'conv' and
+    the comparison would be the conv path against itself)."""
     h, x, params = inputs
-    p2 = SepConvGRU(hidden_dim=D, conv_impl="pallas").init(
-        jax.random.PRNGKey(1), h, x)
+    p2 = PALLAS_GRU.init(jax.random.PRNGKey(1), h, x)
     ref_shapes = jax.tree_util.tree_map(jnp.shape, params)
     got_shapes = jax.tree_util.tree_map(jnp.shape, p2)
     assert ref_shapes == got_shapes
-    # On the CPU test backend the module falls back to the conv path with
-    # the same params — apply must reproduce the reference exactly.
-    out = SepConvGRU(hidden_dim=D, conv_impl="pallas").apply(params, h, x)
-    ref = SepConvGRU(hidden_dim=D).apply(params, h, x)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref))
+
+
+def test_vmem_guard_raises_clearly():
+    """Maps whose per-element working set exceeds the kernel VMEM budget
+    must fail with an explanatory error, not an opaque Mosaic crash."""
+    big_h = jnp.zeros((1, 640, 480, 128), jnp.float32)
+    big_x = jnp.zeros((1, 640, 480, 160), jnp.float32)
+    with pytest.raises(ValueError, match="VMEM"):
+        PALLAS_GRU.init(jax.random.PRNGKey(0), big_h, big_x)

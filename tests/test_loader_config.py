@@ -125,3 +125,57 @@ def test_synthetic_multiview_consistency():
     err = np.abs(np.asarray(warped - jnp.asarray(s["rgb"])[None]))
     err = err[np.asarray(inside)]
     assert err.mean() < 0.02, err.mean()
+
+
+def test_memory_policy_auto_resolution():
+    """"auto" perf knobs resolve per operating point: no-remat fast path
+    below the batch-pixels threshold, remat above it (the reference KITTI
+    point 320x960 b8 OOMs without remat — BENCH_r03); explicit values pass
+    through untouched."""
+    from dro_sfm_tpu.models.sfm import resolve_memory_policy
+
+    assert resolve_memory_policy("auto", "auto", 8, (192, 640)) == (
+        False, "full")
+    assert resolve_memory_policy("auto", "auto", 8, (320, 960)) == (
+        True, "full")
+    assert resolve_memory_policy("auto", "auto", 16, (192, 640)) == (
+        True, "full")
+    # explicit pins win
+    assert resolve_memory_policy(True, "none", 1, (96, 128)) == (True, "none")
+    assert resolve_memory_policy(False, "inner", 8, (320, 960)) == (
+        False, "inner")
+
+
+def test_memory_policy_through_config():
+    """The yaml pipeline: default "auto" resolves via the train operating
+    point; explicit bools in yaml still override."""
+    from dro_sfm_tpu.training.trainer import model_config_from
+    from dro_sfm_tpu.utils.config import load_config
+
+    cfg = load_config("configs/train_kitti_mf_gt.yaml")   # 320x960 b2
+    mc = model_config_from(cfg)
+    assert (mc.remat, mc.scan_unroll) == (False, "full")
+    cfg.datasets.train.batch_size = 8                     # ref point, b8
+    mc = model_config_from(cfg)
+    assert (mc.remat, mc.scan_unroll) == (True, "full")
+    cfg2 = load_config("configs/train_synthetic_fp32.yaml")  # pinned knobs
+    mc2 = model_config_from(cfg2)
+    assert (mc2.remat, mc2.scan_unroll) == (True, "none")
+
+
+def test_device_prefetch_order_and_lookahead():
+    """device_prefetch yields every batch in order, places each exactly
+    once, and keeps `depth` placements in flight ahead of the consumer."""
+    from dro_sfm_tpu.data.loader import device_prefetch
+
+    placed = []
+    batches = [{"i": i} for i in range(5)]
+    out = []
+    gen = device_prefetch(batches, lambda b: placed.append(b["i"]) or b["i"],
+                          depth=2)
+    first = next(gen)
+    # Two placements dispatched before the first batch is consumed.
+    assert placed == [0, 1] and first == ({"i": 0}, 0)
+    out = [first] + list(gen)
+    assert [b["i"] for b, _ in out] == list(range(5))
+    assert [p for _, p in out] == placed == list(range(5))
