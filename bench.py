@@ -25,13 +25,16 @@ import numpy as np
 PEAK_BF16_TFLOPS = 197.0  # TPU v5e per-chip peak
 PEAK_HBM_GBPS = 819.0     # TPU v5e per-chip HBM bandwidth
 
-# Static cost of the flagship train step. FLOPs from CPU-side XLA lowering
-# (tools/perf_flops.py, b8 bf16); HBM bytes from the memory-space-aware
-# walk of the POST-OPTIMIZATION TPU HLO (tools/perf_hbm.py — the naive
-# "bytes accessed" figure of 51.9 GB counts VMEM-resident traffic and
-# overstates HBM ~3x; the space-aware budget is 18.1 GB at b8 192x640).
-# Per-frame so it scales with batch.
-FALLBACK_TFLOPS_PER_FRAME = 1.975 / 8
+# Static cost of the flagship train step. FLOPs from the EXACT jaxpr
+# count (tools/flops_exact.py — every conv/dot equation with scan trip
+# counts multiplied; rounds 1-3 used XLA cost_analysis, which charges a
+# scanned refinement body once and lost conv FLOPs on the TPU lowering
+# path, undercounting the step ~3.8x and reporting 8% MFU for what is a
+# ~30%-MFU program). Verified to scale linearly in pixels (2.3387
+# TFLOP/frame at 320x960 = exactly 2.5x the 192x640 figure). HBM bytes
+# from the memory-space-aware walk of the POST-OPTIMIZATION TPU HLO
+# (tools/perf_hbm.py). Per-frame so both scale with batch.
+TFLOPS_PER_FRAME = 7.484 / 8        # tools/flops_exact.py --batch 8
 FALLBACK_GB_PER_FRAME = 18.1 / 8
 
 BASELINE_FILE = os.path.join(os.path.dirname(os.path.abspath(__file__)),
@@ -134,22 +137,12 @@ def measure(b, n, h, w, n_steps=20):
     frames_per_sec = b * n_steps / dt
     step_ms = dt / n_steps * 1e3
 
-    # Static FLOPs of the step from XLA cost analysis (host-side lowering;
-    # does not retrigger the remote TPU compile).
-    try:
-        cost = train_step.lower(state, batch, step_rng).cost_analysis()
-        if isinstance(cost, list):
-            cost = cost[0]
-        tflops = float(cost.get("flops", 0.0)) / 1e12
-    except Exception:
-        tflops = 0.0
-    # The axon backend's live cost_analysis reports flops=-1 ("unknown");
-    # treat any non-positive value as missing so the fallback fires. HBM
-    # bytes always come from the space-aware model (cost_analysis "bytes
-    # accessed" counts VMEM traffic), scaled by pixels from the audited
-    # b8 192x640 point.
-    if tflops <= 0.0:
-        tflops = FALLBACK_TFLOPS_PER_FRAME * b * (h * w) / (192 * 640)
+    # Static model FLOPs: the audited per-frame constant scaled by pixels
+    # (exact — tools/flops_exact.py; XLA cost_analysis is NOT consulted,
+    # it undercounts scanned/TPU-lowered programs ~3.8x). HBM bytes from
+    # the space-aware model, scaled by pixels from the audited b8 192x640
+    # point.
+    tflops = TFLOPS_PER_FRAME * b * (h * w) / (192 * 640)
     gbytes = FALLBACK_GB_PER_FRAME * b * (h * w) / (192 * 640)
     achieved = tflops / (step_ms * 1e-3)
     return {

@@ -245,6 +245,110 @@ def make_sharded_optimizer(mesh, stride: int = 4, iters: int = 8,
     return run
 
 
+def pool_depth(depths: jnp.ndarray, factor: int) -> jnp.ndarray:
+    """Valid-aware average pooling of [K,h,w] depth maps by ``factor``.
+
+    Zeros (invalid depth) are excluded from the average instead of
+    dragging it toward the camera; a cell with no valid taps stays 0.
+    """
+    if factor == 1:
+        return depths
+    k, h, w = depths.shape
+    hh, ww = h // factor, w // factor
+    d = depths[:, :hh * factor, :ww * factor].reshape(
+        k, hh, factor, ww, factor)
+    valid = (d > 0).astype(depths.dtype)
+    s = (d * valid).sum(axis=(2, 4))
+    c = valid.sum(axis=(2, 4))
+    return jnp.where(c > 0, s / jnp.maximum(c, 1.0), 0.0)
+
+
+# A continuation stage: (depth pyramid factor, IRLS robust_c, GN iters,
+# trust-region max_step).
+Stage = Tuple[int, float, int, float]
+
+# Graduated non-convexity (GNC): start near-quadratic (large robust_c =
+# wide basin, outliers still pull), finish sharply robust. MEASURED to be
+# the basin widener on the wavy-trajectory benchmark: at twist noise
+# sigma=0.12 / outliers 0.25 — where single-level GN diverges or stalls
+# (0.4-1.7x ATE) — this schedule recovers 5-6.5x ATE reduction on most
+# seeds (docs/ba_results_r4.md). Beyond ~0.2 twist the failure is data
+# association, a graph-level problem (ba/pose_graph.py), not continuation.
+GNC_STAGES: Tuple[Stage, ...] = (
+    (1, 2.0, 10, 0.3), (1, 0.5, 10, 0.15), (1, 0.25, 10, 0.1))
+
+# Depth-pyramid coarse-to-fine. Implemented and verified equivalent at
+# factor 1, but measured NOT to widen the basin on the wavy benchmark
+# (pooling biases the geometry itself rather than smoothing the cost —
+# the residual IS geometry here, unlike image-intensity pyramids); it
+# remains useful as a cost reducer: coarse stages run on f^2-fold fewer
+# residuals. Prefer GNC_STAGES for robustness.
+C2F_STAGES: Tuple[Stage, ...] = (
+    (4, 0.25, 8, 0.1), (2, 0.25, 8, 0.1), (1, 0.25, 8, 0.1))
+
+
+def optimize_dense_ba_scheduled(problem: BAProblem,
+                                stages: Tuple[Stage, ...] = GNC_STAGES,
+                                stride: int = 2, damping: float = 1e-2,
+                                anchor: int = 0, mesh=None,
+                                ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Continuation dense BA: the GN/Schur loop over a stage schedule.
+
+    Each stage ``(factor, robust_c, iters, max_step)`` runs ``iters`` GN
+    iterations on ``pool_depth(depths, factor)`` (intrinsics scaled to
+    match, repo pixel-center convention) with the given IRLS threshold
+    and trust region, starting from the previous stage's estimate. Two
+    shipped schedules: `GNC_STAGES` (graduated non-convexity — anneal
+    robust_c; widens the basin ~2x in twist noise, measured) and
+    `C2F_STAGES` (depth pyramid — cheaper coarse iterations).
+
+    Log depth-scale corrections accumulate across stages (each stage's
+    solve sees depths pre-scaled by the running estimate). With ``mesh``
+    every stage's residual/Jacobian work runs edge-sharded
+    (`make_sharded_optimizer`). Returns (refined poses [K,4,4],
+    accumulated log-scales [K]).
+    """
+    from dro_sfm_tpu.geometry.camera import scale_intrinsics
+
+    k = problem.poses.shape[0]
+    poses = problem.poses
+    sigma = jnp.zeros(k, problem.poses.dtype)
+    for factor, robust_c, iters, max_step in stages:
+        K_f = (scale_intrinsics(problem.K, 1.0 / factor)
+               if factor > 1 else problem.K)
+        level = problem._replace(
+            poses=poses,
+            depths=pool_depth(problem.depths, factor)
+            * jnp.exp(sigma)[:, None, None],
+            K=K_f.astype(problem.K.dtype))
+        if mesh is not None:
+            run = make_sharded_optimizer(
+                mesh, stride=stride, iters=iters, damping=damping,
+                anchor=anchor, robust_c=robust_c, max_step=max_step)
+            poses, ds = run(level)
+        else:
+            poses, ds = optimize_dense_ba(
+                level, stride=stride, iters=iters, damping=damping,
+                anchor=anchor, robust_c=robust_c, max_step=max_step)
+        sigma = sigma + ds
+    return poses, sigma
+
+
+def optimize_dense_ba_c2f(problem: BAProblem,
+                          levels: Tuple[int, ...] = (4, 2, 1),
+                          iters: int = 8, stride: int = 2,
+                          damping: float = 1e-2, anchor: int = 0,
+                          robust_c: float = 0.25, max_step: float = 0.1,
+                          mesh=None) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Depth-pyramid coarse-to-fine preset of
+    `optimize_dense_ba_scheduled` (see `C2F_STAGES` for when to prefer
+    it)."""
+    stages = tuple((f, robust_c, iters, max_step) for f in levels)
+    return optimize_dense_ba_scheduled(problem, stages, stride=stride,
+                                       damping=damping, anchor=anchor,
+                                       mesh=mesh)
+
+
 def make_sharded_accumulate(mesh, stride: int, robust_c: float = 0.0):
     """Edge-sharded normal-equation accumulation via shard_map + psum.
 

@@ -82,9 +82,12 @@ class SfmModelConfig:
     photometric: PhotometricLossConfig = PhotometricLossConfig()
     mixed_precision: bool = False         # bfloat16 convs (fp32 geometry)
     warp_impl: str = "gather"             # warp sampler: gather | matmul
-    sep_conv: str = "conv"                # refinement (1,k)/(k,1) convs:
-                                          # "conv" (lax conv) | "matmul"
-                                          # (tap-stacked im2col matmul,
+    sep_conv: str = "split"               # refinement (1,k)/(k,1) convs:
+                                          # "split" (concat-free h/x-sliced
+                                          # convs — kills the pre-conv
+                                          # layout copy, -3.6%/step, exact
+                                          # by linearity) | "conv" (lax
+                                          # conv) | "matmul" (im2col,
                                           # ops/im2col.py) | "pallas"
                                           # (fused single-dispatch GRU
                                           # pass, ops/pallas/gru_pass.py)

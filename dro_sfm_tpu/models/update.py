@@ -121,6 +121,14 @@ class SepConvGRU(nn.Module):
     but channel-minor end to end, avoiding the per-call layout transpose
     XLA's width-minor (1,5) conv lowering forces.
 
+    ``conv_impl="split"`` splits every gate conv along its input channels
+    into an h-part and an x-part (``conv(hx, W) == conv(h, W[:,:,:D]) +
+    conv(x, W[:,:,D:])``, exact by linearity; same parameter tree — the
+    slices are views of the one kernel). This removes the [h, x] concat
+    whose channel-minor result XLA copies into the width-minor layout the
+    (1,5)/(5,1) conv lowering wants — measured ~11 ms/step of
+    synchronous pre-conv copies in the pose branch (tools/perf_attr.py).
+
     ``conv_impl="pallas"`` runs each directional pass as ONE fused Pallas
     kernel (`ops/pallas/gru_pass.py`): both convs, the gate chain and the
     state update execute in a single dispatch with the whole map resident
@@ -144,6 +152,8 @@ class SepConvGRU(nn.Module):
             impl = "conv"
         if impl == "pallas":
             return self._pallas_passes(h, x)
+        if impl == "split":
+            return self._split_passes(h, x)
 
         def make(features, kernel, name):
             if impl == "matmul":
@@ -160,6 +170,39 @@ class SepConvGRU(nn.Module):
             z, r = jnp.split(zr, 2, axis=-1)
             q = jnp.tanh(make(self.hidden_dim, kernel, f"convq{suffix}")(
                 jnp.concatenate([r * h, x], axis=-1)))
+            h = (1.0 - z) * h + z * q
+        return h
+
+    def _split_passes(self, h: jnp.ndarray, x: jnp.ndarray) -> jnp.ndarray:
+        """Concat-free GRU passes: each gate conv applied as the sum of
+        its h-slice and x-slice convs (exact by linearity of convolution;
+        parameter tree identical to the conv path — the slices are views
+        of the one declared kernel)."""
+        d = self.hidden_dim
+        cin = d + x.shape[-1]
+        dt = self.dtype
+        h = h.astype(dt)
+        x = x.astype(dt)
+
+        def split_conv(a, b, kernel, ksz, bias):
+            dims = jax.lax.conv_dimension_numbers(
+                a.shape, kernel[:, :, :d].shape, ("NHWC", "HWIO", "NHWC"))
+            pad = tuple((k // 2, k // 2) for k in ksz)
+            ya = jax.lax.conv_general_dilated(
+                a, kernel[:, :, :d].astype(dt), (1, 1), pad,
+                dimension_numbers=dims)
+            yb = jax.lax.conv_general_dilated(
+                b, kernel[:, :, d:].astype(dt), (1, 1), pad,
+                dimension_numbers=dims)
+            return ya + yb + bias.astype(dt)
+
+        for suffix, ksz in (("1", (1, 5)), ("2", (5, 1))):
+            wzr, bzr = _ConvParams(ksz, cin, 2 * d,
+                                   name=f"convzr{suffix}")()
+            wq, bq = _ConvParams(ksz, cin, d, name=f"convq{suffix}")()
+            zr = nn.sigmoid(split_conv(h, x, wzr, ksz, bzr))
+            z, r = jnp.split(zr, 2, axis=-1)
+            q = jnp.tanh(split_conv(r * h, x, wq, ksz, bq))
             h = (1.0 - z) * h + z * q
         return h
 

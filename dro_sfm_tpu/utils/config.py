@@ -212,7 +212,7 @@ DEFAULTS: Dict[str, Any] = {
                       # values pin the knob explicitly.
                       "mixed_precision": True,
                       "warp_impl": "pallas",
-                      "sep_conv": "conv",
+                      "sep_conv": "split",
                       "remat": "auto",
                       "scan_unroll": "auto",
                       "pretrained_encoders": ""},

@@ -276,3 +276,70 @@ def test_dense_ba_ate_convergence(rng):
     # Mis-scaled depths corrected through the scale DoF.
     rec = np.exp(np.asarray(sigmas)) * scale_noise
     np.testing.assert_allclose(rec, 1.0, atol=0.015)
+
+
+def test_pool_depth_valid_aware():
+    """pool_depth averages only valid (>0) taps; all-invalid cells stay 0."""
+    from dro_sfm_tpu.ba.dense_ba import pool_depth
+
+    d = jnp.zeros((1, 4, 4), jnp.float32)
+    d = d.at[0, 0, 0].set(2.0).at[0, 0, 1].set(4.0)   # cell (0,0): half valid
+    # cell (1,1): fully valid
+    d = d.at[0, 2:4, 2:4].set(5.0)
+    out = pool_depth(d, 2)
+    assert out.shape == (1, 2, 2)
+    np.testing.assert_allclose(np.asarray(out[0]),
+                               [[3.0, 0.0], [0.0, 5.0]])
+    # factor 1 is the identity
+    assert pool_depth(d, 1) is d
+
+
+def test_scheduled_single_stage_matches_plain(rng):
+    """A one-stage schedule at factor 1 must be exactly the plain
+    optimizer (the continuation wrapper adds no math of its own)."""
+    from dro_sfm_tpu.ba.dense_ba import optimize_dense_ba_scheduled
+
+    problem = _ba_problem(rng, k=4)[0]
+    p1, s1 = optimize_dense_ba(problem, stride=2, iters=4, robust_c=0.25,
+                               max_step=0.1)
+    p2, s2 = optimize_dense_ba_scheduled(
+        problem, stages=((1, 0.25, 4, 0.1),), stride=2)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=0)
+    np.testing.assert_allclose(np.asarray(s1), np.asarray(s2), atol=0)
+
+
+@pytest.mark.slow
+def test_dense_ba_gnc_widens_basin(rng):
+    """Graduated non-convexity at 2x the demonstration noise (twist
+    sigma=0.12, outliers 0.25): single-level GN with the final robust_c
+    stalls here (~1x ATE, measured across seeds in
+    docs/ba_results_r4.md), the annealed GNC_STAGES schedule recovers a
+    >=4x reduction at 64x96 depth."""
+    from dro_sfm_tpu.ba.dense_ba import (GNC_STAGES,
+                                         optimize_dense_ba_scheduled)
+    from dro_sfm_tpu.visualization.trajectory import (
+        absolute_trajectory_error)
+
+    k = 32
+    problem, gt_poses = _trajectory_problem(rng, k=k, h=64, w=96)
+    noise = rng.normal(size=(k, 6)) * 0.12
+    for o in (5, 20):
+        noise[o] *= 0.25 / np.linalg.norm(noise[o])
+    noise[0] = 0.0
+    init_poses = problem.poses @ se3_exp(jnp.asarray(noise, jnp.float32))
+    scale_noise = 1.0 + rng.normal(size=(k,)) * 0.03
+    scale_noise[0] = 1.0
+    init = problem._replace(
+        poses=init_poses,
+        depths=problem.depths * jnp.asarray(scale_noise,
+                                            jnp.float32)[:, None, None])
+
+    ate0 = absolute_trajectory_error(np.asarray(init.poses), gt_poses,
+                                     align_scale=True)
+    poses, sigmas = optimize_dense_ba_scheduled(init, stages=GNC_STAGES,
+                                                stride=2)
+    ate1 = absolute_trajectory_error(np.asarray(poses), gt_poses,
+                                     align_scale=True)
+    assert ate1 < ate0 / 4.0, (ate0, ate1)
+    rec = np.exp(np.asarray(sigmas)) * scale_noise
+    np.testing.assert_allclose(rec, 1.0, atol=0.03)

@@ -100,3 +100,29 @@ def test_vmem_guard_raises_clearly():
     big_x = jnp.zeros((1, 640, 480, 160), jnp.float32)
     with pytest.raises(ValueError, match="VMEM"):
         PALLAS_GRU.init(jax.random.PRNGKey(0), big_h, big_x)
+
+
+def test_split_impl_matches_conv_reference(inputs):
+    """conv_impl='split' (concat-free h/x-sliced convs) is exact vs the
+    conv path — identical parameter tree, same math by linearity."""
+    h, x, params = inputs
+    split_gru = SepConvGRU(hidden_dim=D, conv_impl="split")
+    p2 = split_gru.init(jax.random.PRNGKey(1), h, x)
+    assert (jax.tree_util.tree_map(jnp.shape, p2)
+            == jax.tree_util.tree_map(jnp.shape, params))
+    ref = CONV_GRU.apply(params, h, x)
+    got = split_gru.apply(params, h, x)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss(fn, params):
+        return jnp.sum(fn.apply(params, h, x) ** 2)
+
+    g_ref = jax.grad(lambda p: loss(CONV_GRU, p))(params)
+    g_got = jax.grad(lambda p: loss(split_gru, p))(params)
+    for (pr, lr), (pg, lg) in zip(
+            jax.tree_util.tree_leaves_with_path(g_ref),
+            jax.tree_util.tree_leaves_with_path(g_got)):
+        assert pr == pg
+        np.testing.assert_allclose(np.asarray(lg), np.asarray(lr),
+                                   rtol=2e-4, atol=2e-4)

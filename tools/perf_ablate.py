@@ -153,6 +153,9 @@ VARIANTS = [
     # fused single-dispatch Pallas GRU pass (ops/pallas/gru_pass.py)
     ("champ-it12-grupallas", dict(batch=8, scan_unroll="full",
                                   warp_impl="pallas", sep_conv="pallas")),
+    # concat-free split-kernel GRU convs (kills the pre-conv layout copy)
+    ("champ-it12-sepsplit", dict(batch=8, scan_unroll="full",
+                                 warp_impl="pallas", sep_conv="split")),
 ]
 
 

@@ -86,6 +86,48 @@ def run_case(bn, h, w, ch, n, dtype_name):
     assert np.isfinite(float(val2)), f"non-finite warp sum {val2}"
 
 
+def _gru_cases(fast: bool):
+    # (b, h, w, d, cx, dtype_name)
+    yield (8, 24, 80, 128, 160, "bfloat16")   # champion depth-branch shapes
+    if fast:
+        return
+    yield (16, 24, 80, 128, 160, "bfloat16")  # pose branch (chunked grid)
+    yield (3, 6, 10, 32, 24, "float32")       # odd batch, padded tiles
+    yield (1, 8, 16, 32, 24, "float32")       # single element
+
+
+def run_gru_case(b, h, w, d, cx, dtype_name):
+    import jax
+    import jax.numpy as jnp
+
+    from dro_sfm_tpu.ops.pallas.gru_pass import K_TAPS, gru_sep1d_pass
+
+    dtype = jnp.dtype(dtype_name)
+    rng = np.random.default_rng(0)
+    c1 = d + cx
+    hid = jnp.asarray(rng.normal(size=(b, h, w, d)), dtype)
+    x = jnp.asarray(rng.normal(size=(b, h, w, cx)), dtype)
+    wzr = jnp.asarray(rng.normal(size=(K_TAPS, c1, 2 * d)) * 0.05,
+                      jnp.float32)
+    wq = jnp.asarray(rng.normal(size=(K_TAPS, c1, d)) * 0.05, jnp.float32)
+    bzr = jnp.zeros((2 * d,), jnp.float32)
+    bq = jnp.zeros((d,), jnp.float32)
+
+    # Both directional passes, forward AND backward, compiled (Mosaic).
+    @jax.jit
+    def fwd_bwd(hid, x, wzr, bzr, wq, bq):
+        def loss(hid, x, wzr, bzr, wq, bq):
+            y = gru_sep1d_pass(hid, x, wzr, bzr, wq, bq, 2)
+            y = gru_sep1d_pass(y, x, wzr, bzr, wq, bq, 1)
+            return y.astype(jnp.float32).sum()
+        return jax.value_and_grad(loss, argnums=(0, 1, 2, 3, 4, 5))(
+            hid, x, wzr, bzr, wq, bq)
+
+    val, grads = fwd_bwd(hid, x, wzr, bzr, wq, bq)
+    jax.block_until_ready((val, grads))
+    assert np.isfinite(float(val)), f"non-finite gru sum {val}"
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--fast", action="store_true",
@@ -105,10 +147,18 @@ def main():
         t0 = time.time()
         try:
             run_case(*case)
-            print(f"ok   {case}  ({time.time() - t0:.1f}s)", flush=True)
+            print(f"ok   warp {case}  ({time.time() - t0:.1f}s)", flush=True)
         except Exception as e:  # noqa: BLE001 — report and continue
             failures += 1
-            print(f"FAIL {case}: {type(e).__name__}: {e}", flush=True)
+            print(f"FAIL warp {case}: {type(e).__name__}: {e}", flush=True)
+    for case in _gru_cases(args.fast):
+        t0 = time.time()
+        try:
+            run_gru_case(*case)
+            print(f"ok   gru  {case}  ({time.time() - t0:.1f}s)", flush=True)
+        except Exception as e:  # noqa: BLE001 — report and continue
+            failures += 1
+            print(f"FAIL gru  {case}: {type(e).__name__}: {e}", flush=True)
     sys.exit(1 if failures else 0)
 
 
