@@ -60,7 +60,16 @@ def _strip_weights(c, q, mode_x, mode_y, dtype):
     def t(d, mode):
         if mode == 0:
             return jnp.maximum(0.0, 1.0 - jnp.abs(d))
-        return jnp.where((jnp.abs(d) < 1.0) & (d != 0.0), -jnp.sign(d), 0.0)
+        # d/dc tent(c - q), defined at the kinks as the RIGHT-sided
+        # subgradient so it matches autodiff through the gather path
+        # (floor(k) = k -> taps {k, k+1}, d out/dc = F[k+1] - F[k]):
+        # -1 on [0, 1), +1 on [-1, 0), 0 elsewhere. The previous
+        # zero-at-d==0 / open-interval definition silently dropped the
+        # coordinate gradient at exactly-integer projections — the
+        # near-identity pose regime every selfsup training run starts
+        # in (docs/convergence_selfsup_r5.md: epoch-0 loss explosion).
+        return jnp.where((d >= -1.0) & (d < 0.0), 1.0,
+                         jnp.where((d >= 0.0) & (d < 1.0), -1.0, 0.0))
 
     dx = c[:, 0:1] - q[0:1, :]                         # [TILE, p_pad]
     dy = c[:, 1:2] - q[1:2, :]

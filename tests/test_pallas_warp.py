@@ -39,6 +39,37 @@ def test_tent_warp_gradients_match(rng):
                                atol=1e-3)
 
 
+def test_tent_warp_gradients_at_integer_coords(rng):
+    """Regression: at exactly-integer coordinates — the near-identity
+    pose regime every selfsup run starts in — the tent derivative must
+    reproduce the gather path's right-sided subgradient
+    (F[k+1] - F[k]), not zero. The original kernel returned zero
+    coordinate gradients there, which silently killed/biased the
+    cost-volume geometry gradient and exploded selfsup training at
+    epoch 0 (docs/convergence_selfsup_r5.md)."""
+    b, h, w, c = 1, 12, 16, 8           # h*w = 192 -> p_pad 256, 2 strips
+    feat = jnp.asarray(rng.normal(size=(b, h, w, c)), jnp.float32)
+    gy, gx = jnp.meshgrid(jnp.arange(h, dtype=jnp.float32),
+                          jnp.arange(w, dtype=jnp.float32), indexing="ij")
+    coords = jnp.broadcast_to(
+        jnp.stack([gx, gy], axis=-1).reshape(1, h * w, 2), (b, h * w, 2))
+    coords = jnp.pad(coords, ((0, 0), (0, 256 - h * w), (0, 0)),
+                     constant_values=-10.0)
+    weights = jnp.asarray(rng.normal(size=(b, 256, c)), jnp.float32)
+
+    def f_pallas(co):
+        return (tent_warp(feat, co, True) * weights).sum()
+
+    def f_gather(co):
+        s = bilinear_sample(feat, co.reshape(b, 16, 16, 2))
+        return (s.reshape(b, 256, c) * weights).sum()
+
+    gp = jax.grad(f_pallas)(coords)
+    gg = jax.grad(f_gather)(coords)
+    assert float(jnp.abs(gg).max()) > 1.0   # the subgradient is non-trivial
+    np.testing.assert_allclose(np.asarray(gp), np.asarray(gg), atol=1e-4)
+
+
 def test_pallas_warp_cost_padding(rng):
     """Non-tile-multiple h*w pads internally and matches the reference
     cost computation."""

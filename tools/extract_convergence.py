@@ -1,9 +1,12 @@
 """Extract per-epoch convergence trajectories from training logs.
 
-Parses the stdout log of `scripts/train.py` (step progress lines +
-validation metric tables, `utils/logging.py:50-70`) into the trajectory
-JSON schema used by docs/convergence_*.json: one record per epoch with
-the monitored depth metric, running train loss, and train frames/s.
+Parses the stdout log of `scripts/train.py` (step progress lines printed
+by `training/trainer.py:301-304`, metric tables by
+`utils/logging.py:50-69`) into the trajectory JSON schema used by
+docs/convergence_*.json: one record per epoch with the monitored depth
+metric, running train loss, and train frames/s. Diverged runs (``nan`` /
+``inf`` cells or losses) are preserved as float NaN/inf rather than
+silently dropped, so trajectories stay column-stable.
 
     python tools/extract_convergence.py results/run_a.log:label_a \
         [results/run_b.log:label_b ...] > docs/convergence_x.json
@@ -15,10 +18,11 @@ import re
 import sys
 
 ANSI = re.compile(r"\x1b\[[0-9;]*m")
-STEP = re.compile(r"epoch (\d+) step (\d+)/(\d+) loss [\d.eE+-]+ "
-                  r"\(avg ([\d.eE+-]+)\) ([\d.]+) frames/s")
+NUM = r"(?:[-+]?[\d.eE+-]+|-?nan|-?inf)"
+STEP = re.compile(rf"epoch (\d+) step (\d+)/(\d+) loss {NUM} "
+                  rf"\(avg ({NUM})\) ([\d.]+) frames/s")
 TITLE = re.compile(r"\|\s*(\S+) epoch (\d+)\s*\|")
-ROW = re.compile(r"\|\s*(depth\S*)\s*((?:\|\s*[\d.eE+-]+\s*)+)\|")
+ROW = re.compile(rf"\|\s*(depth\S*)\s*((?:\|\s*{NUM}\s*)+)\|")
 
 
 def parse_log(path: str, metric_row: str = "depth_pp_gt",
@@ -44,8 +48,9 @@ def parse_log(path: str, metric_row: str = "depth_pp_gt",
             if m and cur_title_epoch is not None:
                 if m.group(1) != metric_row:
                     continue
-                vals = [float(v) for v in
-                        re.findall(r"[\d.eE+-]+", m.group(2))]
+                # split on '|' so nan/inf cells keep column positions
+                vals = [float(v.strip()) for v in
+                        m.group(2).strip().strip("|").split("|")]
                 rec = epochs.setdefault(cur_title_epoch,
                                         {"epoch": cur_title_epoch})
                 # first table of the epoch wins (the monitored
