@@ -124,6 +124,27 @@ def _edge_system(T_i0, T_j0, D_i, D_j, K, stride, robust_c):
     return r, J_i, J_j
 
 
+def _robust_rho(r: jnp.ndarray, robust_c: float) -> jnp.ndarray:
+    """Cauchy robust cost rho(r) (0.5 r^2 when robust_c == 0) — the
+    objective the IRLS weights of `_edge_system` are the exact IRLS
+    linearization of, so a step that increases it is a step the
+    linearization did not model and must be rejected (LM guard)."""
+    if robust_c <= 0:
+        return 0.5 * r * r
+    return 0.5 * robust_c * robust_c * jnp.log1p((r / robust_c) ** 2)
+
+
+def _total_cost(problem: BAProblem, stride: int, robust_c: float):
+    """Total robust cost over all edges at the current estimate."""
+    r = jax.vmap(
+        lambda ti, tj, di, dj: _edge_residual(
+            jnp.zeros(7, ti.dtype), jnp.zeros(7, ti.dtype), ti, tj, di, dj,
+            problem.K, stride)
+    )(problem.poses[problem.edges_i], problem.poses[problem.edges_j],
+      problem.depths[problem.edges_i], problem.depths[problem.edges_j])
+    return _robust_rho(r, robust_c).sum()
+
+
 def _accumulate(problem: BAProblem, stride: int, robust_c: float = 0.0):
     """Dense normal equations over all edges: H [7K,7K], b [7K]."""
     k = problem.poses.shape[0]
@@ -182,38 +203,81 @@ def _schur_solve(H: jnp.ndarray, b: jnp.ndarray, k: int, damping: float,
 
 
 def _gn_loop(problem: BAProblem, accumulate_fn, iters: int, damping: float,
-             anchor: int, max_step: float) -> Tuple[jnp.ndarray, jnp.ndarray]:
+             anchor: int, max_step: float, cost_fn=None,
+             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """The shared Gauss-Newton iteration, parameterized over how the normal
-    equations are accumulated (single-device vmap or edge-sharded psum)."""
+    equations are accumulated (single-device vmap or edge-sharded psum).
+
+    With ``cost_fn`` (problem -> scalar robust cost) the loop runs as
+    Levenberg-Marquardt with an accept/reject guard: a candidate step
+    that raises the robust cost is discarded and the damping multiplied
+    (x4), an accepted step relaxes it (x0.5, floored at the configured
+    ``damping``). This makes every stage monotone in its own robust
+    objective — refinement can stall, but can no longer walk the
+    trajectory out of the basin (the twist-0.12/outlier-0.25 failure of
+    round 4, results/ba_sweep_cpu.jsonl). Without ``cost_fn`` the loop
+    is plain fixed-damping GN (the r1-r4 behavior).
+    """
     k = problem.poses.shape[0]
 
-    def body(carry, _):
-        poses, sigmas = carry
+    def candidate(poses, sigmas, lam):
         scaled = problem._replace(
             poses=poses, depths=problem.depths * jnp.exp(sigmas)[:, None, None])
         H, b = accumulate_fn(scaled)
-        dxi, dsigma = _schur_solve(H, b, k, damping, anchor)
+        dxi, dsigma = _schur_solve(H, b, k, lam, anchor)
         # Trust region: clip per-keyframe twist norms so a single
         # ill-conditioned iteration cannot leave the basin.
         norm = jnp.linalg.norm(dxi, axis=-1, keepdims=True)
         dxi = dxi * jnp.minimum(1.0, max_step / jnp.maximum(norm, 1e-12))
         dsigma = jnp.clip(dsigma, -max_step, max_step)
-        return (poses @ se3_exp(dxi), sigmas + dsigma), None
+        return poses @ se3_exp(dxi), sigmas + dsigma
 
-    (poses, sigmas), _ = jax.lax.scan(
-        body, (problem.poses, jnp.zeros(k, problem.poses.dtype)), None,
-        length=iters)
+    if cost_fn is None:
+        def body(carry, _):
+            poses, sigmas = carry
+            return candidate(poses, sigmas, damping), None
+
+        (poses, sigmas), _ = jax.lax.scan(
+            body, (problem.poses, jnp.zeros(k, problem.poses.dtype)), None,
+            length=iters)
+        return poses, sigmas
+
+    def lm_body(carry, _):
+        poses, sigmas, lam, cost = carry
+        new_poses, new_sigmas = candidate(poses, sigmas, lam)
+        new_cost = cost_fn(problem._replace(
+            poses=new_poses,
+            depths=problem.depths * jnp.exp(new_sigmas)[:, None, None]))
+        accept = new_cost <= cost
+        poses = jnp.where(accept, new_poses, poses)
+        sigmas = jnp.where(accept, new_sigmas, sigmas)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.where(accept, jnp.maximum(lam * 0.5, damping), lam * 4.0)
+        return (poses, sigmas, lam, cost), accept
+
+    sigmas0 = jnp.zeros(k, problem.poses.dtype)
+    cost0 = cost_fn(problem)
+    (poses, sigmas, _, _), _ = jax.lax.scan(
+        lm_body,
+        (problem.poses, sigmas0, jnp.asarray(damping, problem.poses.dtype),
+         cost0),
+        None, length=iters)
     return poses, sigmas
 
 
 @partial(jax.jit, static_argnames=("stride", "iters", "anchor", "robust_c",
-                                   "max_step"))
+                                   "max_step", "lm_guard"))
 def optimize_dense_ba(problem: BAProblem, stride: int = 4, iters: int = 8,
                       damping: float = 1e-2, anchor: int = 0,
                       robust_c: float = 0.25, max_step: float = 0.05,
+                      lm_guard: bool = True,
                       ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Gauss-Newton dense BA. Returns (refined poses [K,4,4],
     log-scales [K]).
+
+    ``lm_guard`` enables the Levenberg-Marquardt accept/reject loop
+    (monotone robust cost — see `_gn_loop`); disable for the raw
+    fixed-damping GN iteration.
 
     Matmul precision is pinned to fp32: TPU matmuls default to bf16 inputs,
     whose ~2^-8 relative error in the projection chain and J^T J products
@@ -221,26 +285,32 @@ def optimize_dense_ba(problem: BAProblem, stride: int = 4, iters: int = 8,
     (5x ATE drop on CPU) into divergence on TPU v5e."""
     with jax.default_matmul_precision("highest"):
         return _gn_loop(problem, lambda p: _accumulate(p, stride, robust_c),
-                        iters, damping, anchor, max_step)
+                        iters, damping, anchor, max_step,
+                        cost_fn=(lambda p: _total_cost(p, stride, robust_c))
+                        if lm_guard else None)
 
 
 def make_sharded_optimizer(mesh, stride: int = 4, iters: int = 8,
                            damping: float = 1e-2, anchor: int = 0,
-                           robust_c: float = 0.25, max_step: float = 0.05):
+                           robust_c: float = 0.25, max_step: float = 0.05,
+                           lm_guard: bool = True):
     """Full distributed dense BA: the same GN/Schur loop as
     `optimize_dense_ba` with every iteration's residual/Jacobian work
     edge-sharded over the mesh's ``data`` axis (psum-assembled system,
-    replicated tiny solve). The sharded and single-device optimizers are
-    bit-compatible up to reduction order — asserted in
-    `tests/test_ba.py::test_sharded_optimizer_matches_single_device` and the
-    multi-chip dryrun."""
+    replicated tiny solve; with ``lm_guard`` the per-iteration robust
+    cost is likewise edge-sharded and psum-reduced). The sharded and
+    single-device optimizers are bit-compatible up to reduction order —
+    asserted in `tests/test_ba.py::test_sharded_optimizer_matches_single_device`
+    and the multi-chip dryrun."""
     accumulate = make_sharded_accumulate(mesh, stride, robust_c)
+    cost_fn = (make_sharded_cost(mesh, stride, robust_c)
+               if lm_guard else None)
 
     @jax.jit
     def run(problem: BAProblem) -> Tuple[jnp.ndarray, jnp.ndarray]:
         with jax.default_matmul_precision("highest"):  # see optimize_dense_ba
             return _gn_loop(problem, accumulate, iters, damping, anchor,
-                            max_step)
+                            max_step, cost_fn=cost_fn)
 
     return run
 
@@ -347,6 +417,148 @@ def optimize_dense_ba_c2f(problem: BAProblem,
     return optimize_dense_ba_scheduled(problem, stages, stride=stride,
                                        damping=damping, anchor=anchor,
                                        mesh=mesh)
+
+
+def make_sharded_cost(mesh, stride: int, robust_c: float = 0.0):
+    """Edge-sharded robust-cost evaluation (the LM guard's objective),
+    psum-reduced over the ``data`` axis — same sharding contract as
+    `make_sharded_accumulate`."""
+    from jax.sharding import PartitionSpec as P
+    try:
+        from jax import shard_map
+    except ImportError:
+        from jax.experimental.shard_map import shard_map
+
+    def local(poses, depths, K, edges_i, edges_j):
+        problem = BAProblem(poses, depths, K, edges_i, edges_j)
+        return jax.lax.psum(_total_cost(problem, stride, robust_c),
+                            axis_name="data")
+
+    fn = shard_map(local, mesh=mesh,
+                   in_specs=(P(), P(), P(), P("data"), P("data")),
+                   out_specs=P())
+
+    def run(problem: BAProblem):
+        return fn(problem.poses, problem.depths, problem.K,
+                  problem.edges_i, problem.edges_j)
+
+    return run
+
+
+# Two-frame alignment continuation: (robust_c, iters, max_step). A long
+# wide-kernel stage first — measured to cut diverged edges 34% -> 15% at
+# twist 0.12 vs a short sharp-kernel schedule (docs/ba_results_r5.md) —
+# then a sharp polish for inlier accuracy.
+EDGE_STAGES: Tuple[Tuple[float, int, float], ...] = (
+    (2.0, 30, 0.5), (0.25, 8, 0.15))
+
+
+@partial(jax.jit, static_argnames=("stride", "stages"))
+def estimate_edge_relatives(problem: BAProblem, stride: int = 2,
+                            damping: float = 1e-2,
+                            stages: Tuple[Tuple[float, int, float], ...]
+                            = EDGE_STAGES,
+                            ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Independent two-frame alignment per covisibility edge.
+
+    For each edge (i, j), holds frame i fixed and Gauss-Newton-refines
+    frame j's 6-DoF pose + log depth scale against the dense
+    depth-consistency residual — a [7,7] solve per edge, all edges
+    vmapped, over the ``stages`` (robust_c, iters, max_step)
+    continuation. Returns (measurements Z_ij [E,4,4] = refined
+    T_i^{-1} T_j, weights [E] = valid-pixel fraction x
+    1/(1 + mean robust residual)).
+
+    This is the classic front-end/back-end split: per-edge relative
+    poses are a LOCAL problem whose basin does not shrink as global
+    trajectory noise grows, so feeding them to pose-graph optimization
+    (`ba/pose_graph.py`) re-initializes dense BA inside its basin at
+    noise levels where joint GN diverges (twist sigma >= 0.12,
+    results/ba_sweep_cpu.jsonl r4 rows).
+    """
+    zero = jnp.zeros(7, problem.poses.dtype)
+
+    def refine_one(T_i, T_j, D_i, D_j):
+        def make_body(robust_c, max_step):
+            def body(carry, _):
+                T_cur, sig = carry
+                fn = lambda pj: _edge_residual(   # noqa: E731
+                    zero, pj, T_i, T_cur, D_i, D_j * jnp.exp(sig),
+                    problem.K, stride)
+                r = fn(zero)
+                J = jax.jacfwd(fn)(zero)
+                if robust_c > 0:
+                    w = jnp.sqrt(1.0 / (1.0 + (r / robust_c) ** 2))
+                    r = r * w
+                    J = J * w[:, None]
+                H = J.T @ J
+                H = H + damping * jnp.diag(jnp.diag(H)) + 1e-8 * jnp.eye(7)
+                d = -jnp.linalg.solve(H, J.T @ r)
+                norm = jnp.linalg.norm(d[:6])
+                d = d.at[:6].multiply(
+                    jnp.minimum(1.0, max_step / jnp.maximum(norm, 1e-12)))
+                # Incremental composition (right-multiplied twist,
+                # additive log-scale) — matches _edge_residual's
+                # params_j semantics.
+                return (T_cur @ se3_exp(d[:6]),
+                        sig + jnp.clip(d[6], -max_step, max_step)), None
+            return body
+
+        carry = (T_j, jnp.zeros((), T_i.dtype))
+        for robust_c, iters, max_step in stages:
+            carry, _ = jax.lax.scan(make_body(robust_c, max_step), carry,
+                                    None, length=iters)
+        T_j_ref, sig = carry
+        r = _edge_residual(zero, zero, T_i, T_j_ref, D_i,
+                           D_j * jnp.exp(sig), problem.K, stride)
+        valid_frac = (jnp.abs(r) > 0).mean()
+        weight = valid_frac / (1.0 + (jnp.abs(r).sum()
+                                      / jnp.maximum((jnp.abs(r) > 0).sum(),
+                                                    1.0)) / 0.01)
+        return jnp.linalg.inv(T_i) @ T_j_ref, weight
+
+    with jax.default_matmul_precision("highest"):
+        return jax.vmap(refine_one)(
+            problem.poses[problem.edges_i], problem.poses[problem.edges_j],
+            problem.depths[problem.edges_i],
+            problem.depths[problem.edges_j])
+
+
+def optimize_dense_ba_robust(problem: BAProblem,
+                             stages: Tuple[Stage, ...] = None,
+                             stride: int = 2, damping: float = 1e-2,
+                             anchor: int = 0, mesh=None,
+                             pgo_iters: int = 15,
+                             ) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Full robust pipeline: per-edge alignment -> pose-graph -> dense BA.
+
+    1. `estimate_edge_relatives`: local two-frame refinements (basin
+       independent of global noise).
+    2. `optimize_pose_graph` on the measured relatives — re-initializes
+       the trajectory near the global optimum.
+    3. The GNC-scheduled dense BA (LM-guarded) polishes poses + scales
+       jointly from the re-initialized trajectory.
+
+    The dense stages are monotone in their robust cost (LM guard), so
+    the full pipeline returns a trajectory no worse than the PGO
+    initialization under its own objective — the "refinement must not
+    make it worse" contract (VERDICT r4 item 6).
+    """
+    from dro_sfm_tpu.ba.pose_graph import optimize_pose_graph
+
+    measurements, weights = estimate_edge_relatives(
+        problem, stride=stride, damping=damping)
+    # Robust (IRLS-Cauchy) PGO: diverged two-frame alignments produce
+    # measurement outliers 10-50x the inlier error scale; c = 0.15 sits
+    # ~3x above the measured inlier median (docs/ba_results_r5.md).
+    poses = optimize_pose_graph(problem.poses, problem.edges_i,
+                                problem.edges_j, measurements,
+                                weights=weights, iters=pgo_iters,
+                                anchor=anchor, robust_c=0.15)
+    reinit = problem._replace(poses=poses)
+    return optimize_dense_ba_scheduled(
+        reinit, stages=GNC_STAGES if stages is None else stages,
+        stride=stride, damping=damping, anchor=anchor, mesh=mesh)
 
 
 def make_sharded_accumulate(mesh, stride: int, robust_c: float = 0.0):

@@ -45,10 +45,19 @@ class TrainState(flax.struct.PyTreeNode):
 def lr_schedule(name: str, base_lr: float, steps_per_epoch: int,
                 step_size: int = 10, gamma: float = 0.5,
                 milestones=(10, 15, 20, 25, 30, 35, 40, 45),
-                t_max: int = 20, eta_min: float = 1e-7):
+                t_max: int = 20, eta_min: float = 1e-7,
+                warmup_steps: int = 0):
     """Epoch-granular schedules as functions of the optimizer step.
 
     Mirrors `model_wrapper.py:176-194` scheduler dispatch.
+    ``warmup_steps`` > 0 ramps the lr linearly from 0 over the first N
+    optimizer steps before handing over to the named schedule — an
+    addition over the reference (which has no warmup): the recurrent
+    refinement's early selfsup dynamics are chaotic (epoch-0 loss
+    explosions / constant-disparity collapse within ~10 full-lr steps,
+    docs/convergence_selfsup_r5.md) and a short ramp lets pose/depth
+    leave the degenerate near-identity regime gradually. Default 0 =
+    exact reference behavior.
     """
     spe = max(1, steps_per_epoch)
 
@@ -70,6 +79,12 @@ def lr_schedule(name: str, base_lr: float, steps_per_epoch: int,
                 1 + jnp.cos(jnp.pi * e / t_max))
     else:
         raise ValueError(f"Unknown scheduler {name}")
+    if warmup_steps and warmup_steps > 0:
+        base_fn = fn
+
+        def fn(step):
+            ramp = jnp.minimum(1.0, (step + 1) / warmup_steps)
+            return ramp * base_fn(step)
     return fn
 
 
@@ -80,7 +95,8 @@ def group_schedule(group_cfg, scheduler_cfg, steps_per_epoch: int):
         scheduler_cfg.name, group_cfg.lr, steps_per_epoch,
         step_size=scheduler_cfg.step_size, gamma=scheduler_cfg.gamma,
         milestones=tuple(scheduler_cfg.milestones),
-        t_max=scheduler_cfg.T_max, eta_min=scheduler_cfg.eta_min)
+        t_max=scheduler_cfg.T_max, eta_min=scheduler_cfg.eta_min,
+        warmup_steps=getattr(scheduler_cfg, "warmup_steps", 0))
 
 
 def make_optimizer(optimizer_cfg, scheduler_cfg, steps_per_epoch: int,

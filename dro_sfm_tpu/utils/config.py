@@ -167,6 +167,9 @@ DEFAULTS: Dict[str, Any] = {
             "name": "StepLR", "step_size": 10, "gamma": 0.5,
             "T_max": 20, "eta_min": 1e-7,
             "milestones": [10, 15, 20, 25, 30, 35, 40, 45],
+            # Linear lr ramp over the first N optimizer steps (0 = off,
+            # reference parity). See training/state.py:lr_schedule.
+            "warmup_steps": 0,
         },
         "params": {"crop": "", "min_depth": 0.0, "max_depth": 80.0},
         "loss": {

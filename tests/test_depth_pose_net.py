@@ -119,6 +119,7 @@ def test_sup_loss_and_grads(net_and_vars):
                for g in jax.tree_util.tree_leaves(grads))
 
 
+@pytest.mark.slow  # re-tiered r5: >25s call (results/pytest_fast_r5_durations.log)
 def test_semisup_loss(net_and_vars):
     net, variables, batch = net_and_vars
     cfg = SfmModelConfig(name="SemiSupModelMFPose", version="it4-h-out",

@@ -31,6 +31,7 @@ def tiny_net():
     return net, variables
 
 
+@pytest.mark.slow  # re-tiered r5: >25s call (results/pytest_fast_r5_durations.log)
 def test_export_roundtrip_matches_live_model(tmp_path, tiny_net):
     net, variables = tiny_net
     path = export_serving_artifact(net, variables, str(tmp_path), batch=1,
@@ -65,6 +66,7 @@ def test_artifact_is_self_contained(tmp_path, tiny_net):
                                atol=1e-6)
 
 
+@pytest.mark.slow  # re-tiered r5: >25s call (results/pytest_fast_r5_durations.log)
 def test_dynamic_batch_export(tmp_path, tiny_net):
     """One symbolic-batch artifact serves multiple batch sizes."""
     net, variables = tiny_net

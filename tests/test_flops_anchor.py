@@ -86,6 +86,7 @@ def test_gru_ledger_matches_analytic(conv_impl):
     assert counted == pytest.approx(analytic, rel=0.01)
 
 
+@pytest.mark.slow  # re-tiered r5: >25s call (results/pytest_fast_r5_durations.log)
 def test_train_step_ledger_scales_with_batch():
     """The full-step ledger must scale linearly in batch size — a cheap
     end-to-end sanity check that scan multipliers and the fwd+bwd trace

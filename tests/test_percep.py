@@ -80,6 +80,7 @@ def test_torch_oracle_parity():
                                rtol=2e-3, atol=2e-4)
 
 
+@pytest.mark.slow  # re-tiered r5: >25s call (results/pytest_fast_r5_durations.log)
 def test_percep_loss_wiring():
     """percep_loss_weight > 0 adds a finite percep term to the
     self-supervised loss and leaves the base terms unchanged."""

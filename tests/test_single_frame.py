@@ -1,9 +1,11 @@
 """Legacy single-frame networks + PercepNet: shapes and sanity."""
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 
+@pytest.mark.slow  # re-tiered r5: >25s call (results/pytest_fast_r5_durations.log)
 def test_depth_resnet_scales(rng):
     from dro_sfm_tpu.models.single_frame import DepthResNet
     net = DepthResNet(min_depth=0.5, max_depth=50.0)

@@ -95,6 +95,7 @@ def test_trainer_epoch_and_validation(tmp_path):
     assert len(saved) == 1
 
 
+@pytest.mark.slow  # re-tiered r5: >25s call (results/pytest_fast_r5_durations.log)
 def test_eval_step_modes():
     """Eval step produces per-sample metrics for all four modes."""
     model_cfg = SfmModelConfig(name="SupModelMF", version="it4-h-out",
@@ -272,6 +273,7 @@ def test_single_frame_trainer_epoch(tmp_path):
     assert len(list((tmp_path / "ckpt").glob("*.ckpt"))) == 1
 
 
+@pytest.mark.slow  # re-tiered r5: >25s call (results/pytest_fast_r5_durations.log)
 def test_overfit_kitti_config_through_cli(tmp_path):
     """The reference's de-facto integration test is overfit_kitti via the
     train CLI; this drives configs/overfit_kitti.yaml against the on-disk

@@ -64,7 +64,7 @@ def main():
     p.add_argument("--stride", type=int, default=2)
     p.add_argument("--twist-sigma", type=float, default=0.06)
     p.add_argument("--outlier", type=float, default=0.14)
-    p.add_argument("--schedule", choices=("plain", "gnc", "c2f"),
+    p.add_argument("--schedule", choices=("plain", "gnc", "c2f", "robust"),
                    default="plain")
     p.add_argument("--sharded", action="store_true")
     args = p.parse_args()
@@ -73,7 +73,8 @@ def main():
     import jax.numpy as jnp
 
     from dro_sfm_tpu.ba.dense_ba import (
-        C2F_STAGES, GNC_STAGES, make_sharded_optimizer, optimize_dense_ba,
+        C2F_STAGES, EDGE_STAGES, GNC_STAGES, make_sharded_optimizer,
+        optimize_dense_ba, optimize_dense_ba_robust,
         optimize_dense_ba_scheduled)
     from dro_sfm_tpu.visualization.trajectory import (
         absolute_trajectory_error)
@@ -96,7 +97,13 @@ def main():
         mesh = make_mesh(jax.devices())
 
     stages = {"gnc": GNC_STAGES, "c2f": C2F_STAGES}.get(args.schedule)
-    if stages is not None:
+    if args.schedule == "robust":
+        # Front-end two-frame alignments + robust PGO + GNC dense BA.
+        total_iters = (sum(s[1] for s in EDGE_STAGES)
+                       + sum(s[2] for s in GNC_STAGES))
+        opt = lambda prob: optimize_dense_ba_robust(  # noqa: E731
+            prob, stride=args.stride, mesh=mesh)
+    elif stages is not None:
         total_iters = sum(s[2] for s in stages)
         opt = lambda prob: optimize_dense_ba_scheduled(  # noqa: E731
             prob, stages=stages, stride=args.stride, mesh=mesh)
