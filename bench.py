@@ -137,6 +137,14 @@ def measure(b, n, h, w, n_steps=20):
     frames_per_sec = b * n_steps / dt
     step_ms = dt / n_steps * 1e3
 
+    # Record the RESOLVED knob set — "bench at the fast path" is
+    # meaningless as evidence unless the artifact says exactly which
+    # path that was (VERDICT r4 item 4).
+    knobs = {"mixed_precision": model_cfg.mixed_precision,
+             "warp_impl": model_cfg.warp_impl,
+             "sep_conv": model_cfg.sep_conv,
+             "remat": remat, "scan_unroll": scan_unroll}
+
     # Static model FLOPs: the audited per-frame constant scaled by pixels
     # (exact — tools/flops_exact.py; XLA cost_analysis is NOT consulted,
     # it undercounts scanned/TPU-lowered programs ~3.8x). HBM bytes from
@@ -152,6 +160,7 @@ def measure(b, n, h, w, n_steps=20):
         "achieved_tflops_per_s": achieved,
         "mfu": achieved / PEAK_BF16_TFLOPS,
         "hbm_util": (gbytes / (step_ms * 1e-3)) / PEAK_HBM_GBPS,
+        "knobs": knobs,
     }
 
 
@@ -188,9 +197,10 @@ def main():
     out = {
         "metric": "train_frames_per_sec",
         "value": round(r["frames_per_sec"], 3),
-        "unit": "frames/s (it12-h-out, 192x640, b8, supervised step, "
-                "bf16 unrolled Pallas-warp fast path)",
+        "unit": "frames/s (it12-h-out, 192x640, b8, supervised step; "
+                "exact knob set in 'knobs')",
         "vs_baseline": round(vs_baseline, 3),
+        "knobs": r["knobs"],
         "step_ms": round(r["step_ms"], 2),
         "step_tflops": round(r["tflops"], 3),
         "achieved_tflops_per_s": round(r["achieved_tflops_per_s"], 2),
@@ -205,6 +215,7 @@ def main():
             "scaling_vs_pixels_320x960": round(
                 (r_ref["step_ms"] / r["step_ms"])
                 / ((320 * 960) / (192 * 640)), 3),
+            "knobs_320x960": r_ref["knobs"],
         })
     else:
         out["frames_per_sec_320x960_b8"] = ref_error

@@ -41,6 +41,8 @@ from dro_sfm_tpu.geometry.camera import (
     pixel_grid,
     scale_intrinsics,
 )
+from jax.ad_checkpoint import checkpoint_name
+
 from dro_sfm_tpu.geometry.pose import pose_vec_to_mat
 from dro_sfm_tpu.models.encoder import ResNetEncoder
 from dro_sfm_tpu.models.update import (
@@ -212,11 +214,16 @@ class _DepthStep(nn.Module):
         cost = _sample_cost(consts["fmap1"], consts["fmaps_ref"],
                             _proj_to_coords(proj),
                             self.warp_impl).mean(axis=1)
+        # Named for the selective remat policy (remat="save_named"):
+        # saving the cost map and GRU state keeps the warp + conv chain
+        # out of the recompute while the elementwise glue rematerializes.
+        cost = checkpoint_name(cost, "cost")
         hidden, delta = DepthUpdateCell(
             hidden_dim=self.hidden_dim, context_dim=self.context_dim,
             ratio=self.ratio, dtype=self.dtype, conv_impl=self.sep_conv,
             name="cell")(
                 hidden, inv_depth, cost, consts["inp"])
+        hidden = checkpoint_name(hidden, "gru_out")
         inv_depth = inv_depth + delta
         return (hidden, inv_depth, consts), (inv_depth, hidden)
 
@@ -247,11 +254,13 @@ class _PoseStep(nn.Module):
         cost = _sample_cost(consts["fmap1"], consts["fmaps_ref"],
                             _proj_to_coords(proj),
                             self.warp_impl)            # [B,N,h,w,C]
+        cost = checkpoint_name(cost, "cost")  # see _DepthStep
         hidden, delta = PoseUpdateCell(
             hidden_dim=self.hidden_dim, context_dim=self.context_dim,
             dtype=self.dtype, conv_impl=self.sep_conv, name="cell")(
                 hidden, poses.reshape(b * n, 6),
                 cost.reshape(b * n, *cost.shape[2:]), consts["inp"])
+        hidden = checkpoint_name(hidden, "gru_out")
         poses = poses + delta.reshape(b, n, 6)
         return (hidden, poses, consts), poses
 
@@ -268,7 +277,7 @@ class _OuterIteration(nn.Module):
     dtype: Any = jnp.float32
     warp_impl: str = "gather"
     sep_conv: str = "conv"
-    remat: bool = True
+    remat: Any = True
     unroll: str = "none"
 
     @nn.compact
@@ -301,8 +310,23 @@ class _OuterIteration(nn.Module):
         # otherwise keep O(outer x seq x hidden activations) alive (OOM at
         # batch >= 16). At small batch the activations fit, and skipping the
         # recompute is faster.
-        depth_step = nn.remat(_DepthStep) if self.remat else _DepthStep
-        pose_step = nn.remat(_PoseStep) if self.remat else _PoseStep
+        if self.remat == "save_named":
+            # Selective rematerialization: keep the per-step cost map and
+            # GRU hidden state (the conv/warp outputs — expensive to
+            # recompute, and the GRU chain would otherwise recompute
+            # SEQUENTIALLY through all prior steps); recompute only the
+            # elementwise glue. Middle ground between full step remat
+            # (max recompute) and no remat (max live activations) for
+            # the 320x960 reference operating point.
+            pol = jax.checkpoint_policies.save_only_these_names(
+                "cost", "gru_out")
+            depth_step = nn.remat(_DepthStep, policy=pol)
+            pose_step = nn.remat(_PoseStep, policy=pol)
+        elif self.remat:
+            depth_step = nn.remat(_DepthStep)
+            pose_step = nn.remat(_PoseStep)
+        else:
+            depth_step, pose_step = _DepthStep, _PoseStep
         # Unrolling the inner scans lets XLA fuse across step boundaries and
         # drops the while-loop bookkeeping — the refinement loop runs at
         # tiny stride-8 grids where per-op overhead, not FLOPs, dominates.
@@ -369,7 +393,8 @@ class DepthPoseNet(nn.Module):
                                # "pallas" (fused single-dispatch GRU pass,
                                # ops/pallas/gru_pass.py; TPU-only, falls back
                                # to "conv" elsewhere — models/update.py)
-    remat: bool = True         # recompute refinement steps in the backward
+    remat: Any = True          # recompute refinement steps in the backward
+                               # (True | False | "save_named" policy)
     unroll: str = "none"       # none | inner | full — unroll the refinement
                                # scans (runtime fusion vs compile time)
 

@@ -49,11 +49,12 @@ def resolve_memory_policy(remat, scan_unroll, batch_size: int,
                           image_shape) -> Tuple[bool, str]:
     """Resolve "auto" perf knobs for an operating point.
 
-    ``remat``: True/False pass through; "auto" (or None) enables remat
-    above `REMAT_AUTO_BATCH_PIXELS` batch-pixels. ``scan_unroll``: "auto"
-    resolves to "full" (the measured fast path — cross-step fusion) — with
-    remat on, the inner scans recompute per step so unrolling no longer
-    multiplies live activations. Returns (remat, scan_unroll) resolved.
+    ``remat``: True/False/"steps"/"save_named" pass through; "auto" (or
+    None) enables full step remat above `REMAT_AUTO_BATCH_PIXELS`
+    batch-pixels. ``scan_unroll``: "auto" resolves to "full" (the
+    measured fast path — cross-step fusion) — with remat on, the inner
+    scans recompute per step so unrolling no longer multiplies live
+    activations. Returns (remat, scan_unroll) resolved.
     """
     h, w = int(image_shape[0]), int(image_shape[1])
     batch_pixels = int(batch_size) * h * w
@@ -61,7 +62,9 @@ def resolve_memory_policy(remat, scan_unroll, batch_size: int,
         remat = batch_pixels > REMAT_AUTO_BATCH_PIXELS
     if scan_unroll in ("auto", None):
         scan_unroll = "full"
-    return bool(remat), str(scan_unroll)
+    if not isinstance(remat, str):
+        remat = bool(remat)
+    return remat, str(scan_unroll)
 # Single-frame task family (monodepth2-lineage depth/pose nets,
 # `/root/reference/dro_sfm/models/SfmModel.py:12-156`): same loss
 # compositions applied to the separate depth_net + pose_net pair.
@@ -91,7 +94,8 @@ class SfmModelConfig:
                                           # ops/im2col.py) | "pallas"
                                           # (fused single-dispatch GRU
                                           # pass, ops/pallas/gru_pass.py)
-    remat: bool = True                    # recompute refinement steps in bwd
+    remat: Any = True                     # recompute refinement steps in bwd
+                                          # (True | False | "save_named")
     scan_unroll: str = "none"             # none | inner | full: unroll the
                                           # refinement scans for cross-step
                                           # fusion (more compile time)

@@ -219,6 +219,26 @@ def test_resume_exactness(tmp_path):
     np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-6)
 
 
+def test_lr_warmup_schedule():
+    """scheduler.warmup_steps ramps every schedule linearly from ~0 and
+    hands over exactly at the configured step; default 0 is bit-exact
+    reference behavior (training/state.py:lr_schedule)."""
+    from dro_sfm_tpu.training.state import lr_schedule
+
+    base = lr_schedule("StepLR", 2e-4, steps_per_epoch=64)
+    warm = lr_schedule("StepLR", 2e-4, steps_per_epoch=64,
+                       warmup_steps=192)
+    assert float(warm(0)) == pytest.approx(2e-4 / 192)
+    assert float(warm(95)) == pytest.approx(2e-4 * 96 / 192)
+    for s in (191, 200, 640):
+        assert float(warm(s)) == pytest.approx(float(base(s)))
+    # warmup composes with the decaying schedule, not replaces it
+    decayed = lr_schedule("MultiStepLR", 2e-4, steps_per_epoch=1,
+                          milestones=(5,), gamma=0.5, warmup_steps=4)
+    assert float(decayed(1)) == pytest.approx(2e-4 * 2 / 4)
+    assert float(decayed(10)) == pytest.approx(1e-4)
+
+
 def test_per_group_learning_rates():
     """make_optimizer applies optimizer.pose.lr to the pose_net subtree and
     optimizer.depth.lr to everything else (`model_wrapper.py:160-209`)."""

@@ -156,6 +156,27 @@ VARIANTS = [
     # concat-free split-kernel GRU convs (kills the pre-conv layout copy)
     ("champ-it12-sepsplit", dict(batch=8, scan_unroll="full",
                                  warp_impl="pallas", sep_conv="split")),
+    # 320x960 selective-remat sweep (VERDICT r4 item 3): run with
+    # --image-shape 320 960. Full step remat vs save_named policy
+    # (keep cost maps + GRU states, recompute glue) x scan vs unroll.
+    ("ref-remat-steps", dict(batch=8, scan_unroll="full",
+                             warp_impl="pallas", sep_conv="split",
+                             remat=True)),
+    ("ref-remat-saved", dict(batch=8, scan_unroll="full",
+                             warp_impl="pallas", sep_conv="split",
+                             remat="save_named")),
+    ("ref-remat-steps-scan", dict(batch=8, scan_unroll="none",
+                                  warp_impl="pallas", sep_conv="split",
+                                  remat=True)),
+    ("ref-remat-saved-scan", dict(batch=8, scan_unroll="none",
+                                  warp_impl="pallas", sep_conv="split",
+                                  remat="save_named")),
+    ("ref-noremat", dict(batch=8, scan_unroll="full",
+                         warp_impl="pallas", sep_conv="split",
+                         remat=False)),
+    ("ref-noremat-b4", dict(batch=4, scan_unroll="full",
+                            warp_impl="pallas", sep_conv="split",
+                            remat=False)),
 ]
 
 
