@@ -7,6 +7,7 @@ the config select reader classes; per-split lists build one dataset per
 """
 from __future__ import annotations
 
+from functools import partial
 from typing import Callable, Dict
 
 from dro_sfm_tpu.data.base import Dataset, Sample, relative_pose, validate_sample
@@ -29,17 +30,24 @@ def register_dataset(name: str):
     return wrap
 
 
-def _synthetic_factory(path, split, mode, image_shape, jittering, section):
+def _synthetic_factory(path, split, mode, image_shape, jittering, section,
+                       num_planes=1):
     """'Synthetic' dataset entry: ``path`` encodes the seed, ``split`` the
     scene count (fixture-free stand-in for KITTI_tiny). Scenes render
     NATIVELY at ``image_shape`` (the renderer is analytic — any resolution
     is exact), so flagship-resolution training (192x640) gets full-detail
-    frames instead of upsampled 96x128 ones and the resize is a no-op."""
+    frames instead of upsampled 96x128 ones and the resize is a no-op.
+
+    'SyntheticMulti' is the same generator with 3 nearest-hit composited
+    planes per scene — non-degenerate depth structure for selfsup
+    evaluation (single-plane scenes score a constant disparity map ~0.05
+    abs_rel after median scaling; docs/convergence_selfsup_r5.md)."""
     n_ctx = int(section.back_context) + int(section.forward_context)
     cfg = SyntheticConfig(
         num_scenes=int(split) if str(split).isdigit() else 8,
         num_context=max(n_ctx, 1),
-        seed=int(path) if str(path).isdigit() else 0)
+        seed=int(path) if str(path).isdigit() else 0,
+        num_planes=num_planes)
     if image_shape:
         cfg.height, cfg.width = int(image_shape[0]), int(image_shape[1])
     return SyntheticDataset(cfg, mode=mode, image_shape=image_shape,
@@ -47,6 +55,7 @@ def _synthetic_factory(path, split, mode, image_shape, jittering, section):
 
 
 _REGISTRY["Synthetic"] = _synthetic_factory
+_REGISTRY["SyntheticMulti"] = partial(_synthetic_factory, num_planes=3)
 
 
 def setup_dataset(section, augmentation, mode: str) -> Dataset:

@@ -49,6 +49,15 @@ class SyntheticConfig:
     max_translation: float = 0.15  # meters between frames
     with_depth: bool = True
     with_pose: bool = True
+    # Surfaces per scene (nearest-hit compositing). 1 = the historical
+    # single tilted plane. Single-plane scenes are DEGENERATE for
+    # self-supervised evaluation: a plane pair of views admits a
+    # homography continuum of (depth, pose) explanations, and
+    # median-scaled depth metrics score a constant disparity map ~0.05
+    # abs_rel on them — use >= 2 planes (distinct depths/tilts) when the
+    # benchmark must separate real structure from collapsed maps
+    # (docs/convergence_selfsup_r5.md).
+    num_planes: int = 1
 
 
 class SyntheticDataset:
@@ -73,20 +82,37 @@ class SyntheticDataset:
     # ------------------------------------------------------------------
     def _scene(self, idx: int):
         rng = np.random.default_rng(self.cfg.seed * 10007 + idx)
-        # Plane: z ~ 4m away, tilted
-        normal = np.array([rng.uniform(-0.25, 0.25),
-                           rng.uniform(-0.25, 0.25), -1.0])
-        normal /= np.linalg.norm(normal)
-        p0 = np.array([0.0, 0.0, rng.uniform(3.0, 6.0)])
-        # Plane tangent basis
-        eu = np.cross(normal, [0.0, 1.0, 0.0])
-        eu /= np.linalg.norm(eu)
-        ev = np.cross(normal, eu)
-        tex = {
-            "freqs": rng.uniform(0.15, 1.2, size=(6, 2)),
-            "phases": rng.uniform(0, 2 * np.pi, size=(6, 3)),
-            "weights": rng.uniform(0.3, 1.0, size=(6, 3)),
-        }
+        planes = []
+        for k in range(max(1, self.cfg.num_planes)):
+            # Plane 0: z ~ 4-6m, mildly tilted (the historical scene —
+            # bit-identical rng draws when num_planes == 1). Extra
+            # planes: nearer, more tilted, laterally offset, so the
+            # nearest-hit composite has genuine depth structure.
+            if k == 0:
+                normal = np.array([rng.uniform(-0.25, 0.25),
+                                   rng.uniform(-0.25, 0.25), -1.0])
+                p0 = np.array([0.0, 0.0, rng.uniform(3.0, 6.0)])
+                extent = np.inf         # backdrop covers the view
+            else:
+                normal = np.array([rng.uniform(-0.45, 0.45),
+                                   rng.uniform(-0.45, 0.45), -1.0])
+                p0 = np.array([rng.uniform(-1.2, 1.2),
+                               rng.uniform(-0.8, 0.8),
+                               rng.uniform(1.8, 4.0)])
+                # Finite patch: foreground planes occlude only part of
+                # the backdrop, guaranteeing depth discontinuities.
+                extent = rng.uniform(0.4, 1.1)
+            normal = normal / np.linalg.norm(normal)
+            # Plane tangent basis
+            eu = np.cross(normal, [0.0, 1.0, 0.0])
+            eu /= np.linalg.norm(eu)
+            ev = np.cross(normal, eu)
+            tex = {
+                "freqs": rng.uniform(0.15, 1.2, size=(6, 2)),
+                "phases": rng.uniform(0, 2 * np.pi, size=(6, 3)),
+                "weights": rng.uniform(0.3, 1.0, size=(6, 3)),
+            }
+            planes.append((normal, p0, eu, ev, tex, extent))
         # Camera-to-world poses: target = identity, contexts perturbed.
         poses = [np.eye(4)]
         for _ in range(self.cfg.num_context):
@@ -103,32 +129,47 @@ class SyntheticDataset:
             T[:3, :3] = rx @ ry @ rz
             T[:3, 3] = trans
             poses.append(T)
-        return normal, p0, eu, ev, tex, poses
+        return planes, poses
 
-    def _render(self, normal, p0, eu, ev, tex, pose_c2w):
-        """Render one view: RGB [H,W,3] float32 and depth [H,W,1]."""
+    def _render(self, planes, pose_c2w):
+        """Render one view (nearest-hit over planes): RGB [H,W,3]
+        float32 and depth [H,W,1]."""
         h, w = self.cfg.height, self.cfg.width
         Kinv = np.linalg.inv(self.K.astype(np.float64))
         ys, xs = np.meshgrid(np.arange(h), np.arange(w), indexing="ij")
         rays_cam = np.stack([xs, ys, np.ones_like(xs)], axis=-1) @ Kinv.T
         R, t = pose_c2w[:3, :3], pose_c2w[:3, 3]
         rays_w = rays_cam @ R.T
-        denom = rays_w @ normal
-        s = ((p0 - t) @ normal) / denom  # depth = z in cam frame (ray z=1)
-        pts = t + rays_w * s[..., None]
-        rel = pts - p0
-        u = rel @ eu
-        v = rel @ ev
-        rgb = _texture(u, v, tex["freqs"], tex["phases"], tex["weights"])
-        return rgb, s.astype(np.float32)[..., None]
+
+        best_s = np.full((h, w), np.inf)
+        rgb = np.zeros((h, w, 3), dtype=np.float32)
+        for normal, p0, eu, ev, tex, extent in planes:
+            denom = rays_w @ normal
+            with np.errstate(divide="ignore", invalid="ignore"):
+                s = ((p0 - t) @ normal) / denom  # z in cam frame (ray z=1)
+            s = np.where((np.abs(denom) > 1e-9) & (s > 0.1), s, np.inf)
+            pts = t + rays_w * np.where(np.isfinite(s), s, 0.0)[..., None]
+            rel = pts - p0
+            u = rel @ eu
+            v = rel @ ev
+            if np.isfinite(extent):  # finite patch: miss outside
+                s = np.where((np.abs(u) < extent) & (np.abs(v) < extent),
+                             s, np.inf)
+            plane_rgb = _texture(u, v, tex["freqs"], tex["phases"],
+                                 tex["weights"])
+            nearer = s < best_s
+            best_s = np.where(nearer, s, best_s)
+            rgb = np.where(nearer[..., None], plane_rgb, rgb)
+        depth = np.where(np.isfinite(best_s), best_s, 0.0)
+        return rgb, depth.astype(np.float32)[..., None]
 
     # ------------------------------------------------------------------
     def __getitem__(self, idx: int) -> Sample:
-        normal, p0, eu, ev, tex, poses = self._scene(idx)
-        rgb, depth = self._render(normal, p0, eu, ev, tex, poses[0])
+        planes, poses = self._scene(idx)
+        rgb, depth = self._render(planes, poses[0])
         ctx_rgb, ctx_pose = [], []
         for T in poses[1:]:
-            c_rgb, _ = self._render(normal, p0, eu, ev, tex, T)
+            c_rgb, _ = self._render(planes, T)
             ctx_rgb.append(c_rgb)
             ctx_pose.append(relative_pose(poses[0], T).astype(np.float32))
         sample: Sample = {
