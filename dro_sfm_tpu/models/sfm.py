@@ -36,13 +36,16 @@ MF_MODEL_NAMES = ("SfmModelMF", "SelfSupModelMF", "SupModelMF",
 
 # Memory-aware perf-knob policy (v5e, 16 GB HBM). The fast path (no remat,
 # fully-unrolled refinement scans) keeps O(iters x seq) inner activations
-# alive through the backward; past ~1M batch-pixels that working set
-# exhausts HBM — measured: 192x640 b8 (0.98M) trains without remat,
-# 192x640 b16 (1.97M) and the reference KITTI operating point 320x960 b8
-# (2.46M) OOM without it (BENCH_r03 tail). "auto" knobs resolve against
-# this threshold so big-resolution configs degrade to the remat path
-# instead of dying in an XLA allocation dump.
-REMAT_AUTO_BATCH_PIXELS = 1_100_000
+# alive through the backward; past this many batch-pixels that working
+# set exhausts HBM. History: round 3 measured 320x960 b8 (2.46M) OOM on
+# the no-remat path and set 1.1M; the round-4/5 memory work (bf16 mask
+# path, concat-free split convs, fused warp-subtract keeping f32
+# products in VMEM) shrank the working set — round 5 measured 320x960
+# b8 no-remat at 369.7 ms vs 457.5 ms step-remat (19% faster, no OOM;
+# results/remat320_ab_r5.jsonl) — so the threshold now admits the
+# reference KITTI operating point. Above it, configs degrade to the
+# remat path instead of dying in an XLA allocation dump.
+REMAT_AUTO_BATCH_PIXELS = 2_500_000
 
 
 def resolve_memory_policy(remat, scan_unroll, batch_size: int,

@@ -119,12 +119,20 @@ def main():
 
     # Compile + converge once, then time steady-state repeats (inputs
     # perturbed per repeat so no layer can serve a cached result).
-    poses, sigmas = jax.block_until_ready(opt(init))
+    # Timing anchors on a HOST FETCH of a value data-dependent on the
+    # result: on the remote-attached axon backend block_until_ready does
+    # not reliably wait for device execution (see bench.py header) —
+    # round-5 fix; earlier TPU rows under-reported per-iteration time.
+    def fetch(res):
+        return float(np.asarray(jax.device_get(res[0]))[0, 0, 0])
+
+    poses, sigmas = opt(init)
+    fetch((poses, sigmas))
     times = []
     for i in range(5):
         pert = init._replace(depths=init.depths + 1e-6 * (i + 1))
         t0 = time.perf_counter()
-        jax.block_until_ready(opt(pert))
+        fetch(opt(pert))
         times.append(time.perf_counter() - t0)
     per_iter_ms = 1000.0 * min(times) / total_iters
 
