@@ -129,19 +129,22 @@ def test_synthetic_multiview_consistency():
 
 def test_memory_policy_auto_resolution():
     """"auto" perf knobs resolve per operating point: no-remat fast path
-    below the batch-pixels threshold, remat above it (the reference KITTI
-    point 320x960 b8 OOMs without remat — BENCH_r03); explicit values pass
-    through untouched."""
+    below the batch-pixels threshold (raised to 2.5M in r5 — the 320x960
+    b8 reference point now fits and runs 19% faster without remat,
+    results/remat320_ab_r5.jsonl), remat above it; explicit values
+    (including the "save_named" policy string) pass through untouched."""
     from dro_sfm_tpu.models.sfm import resolve_memory_policy
 
     assert resolve_memory_policy("auto", "auto", 8, (192, 640)) == (
         False, "full")
     assert resolve_memory_policy("auto", "auto", 8, (320, 960)) == (
-        True, "full")
-    assert resolve_memory_policy("auto", "auto", 16, (192, 640)) == (
+        False, "full")
+    assert resolve_memory_policy("auto", "auto", 16, (320, 960)) == (
         True, "full")
     # explicit pins win
     assert resolve_memory_policy(True, "none", 1, (96, 128)) == (True, "none")
+    assert resolve_memory_policy("save_named", "none", 8, (320, 960)) == (
+        "save_named", "none")
     assert resolve_memory_policy(False, "inner", 8, (320, 960)) == (
         False, "inner")
 
@@ -155,7 +158,7 @@ def test_memory_policy_through_config():
     cfg = load_config("configs/train_kitti_mf_gt.yaml")   # 320x960 b2
     mc = model_config_from(cfg)
     assert (mc.remat, mc.scan_unroll) == (False, "full")
-    cfg.datasets.train.batch_size = 8                     # ref point, b8
+    cfg.datasets.train.batch_size = 16                    # above threshold
     mc = model_config_from(cfg)
     assert (mc.remat, mc.scan_unroll) == (True, "full")
     cfg2 = load_config("configs/train_synthetic_fp32.yaml")  # pinned knobs
